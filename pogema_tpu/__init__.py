@@ -1,0 +1,44 @@
+"""pogema_tpu — a TPU-native, vectorized rebuild of POGEMA
+(CognitiveAISystems/pogema): partially observable multi-agent grid
+environments for MAPF/LMAPF, as pure-functional JAX programs batched over
+thousands of env instances and sharded over TPU meshes.
+
+Public surface mirrors the reference package exports
+(upstream: pogema/__init__.py, SURVEY.md §2 "Package surface") plus the
+new vectorized core (:class:`pogema_tpu.core.PogemaCore`).
+"""
+
+from .core import EnvState, PogemaCore, StepResult
+from .grid_config import FREE, MOVES, NUM_ACTIONS, OBSTACLE, GridConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GridConfig",
+    "PogemaCore",
+    "EnvState",
+    "StepResult",
+    "FREE",
+    "OBSTACLE",
+    "MOVES",
+    "NUM_ACTIONS",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # Lazy imports for the compatibility rim so the JAX core stays
+    # importable without gymnasium extras being touched at import time.
+    if name in ("pogema_v0", "Pogema", "PogemaLifeLong", "PogemaCoopFinish"):
+        from . import envs
+
+        return getattr(envs, name)
+    if name in ("AnimationMonitor", "AnimationConfig"):
+        from . import animation
+
+        return getattr(animation, name)
+    if name in ("AStarAgent", "BatchAStarAgent"):
+        from . import a_star_policy
+
+        return getattr(a_star_policy, name)
+    raise AttributeError(f"module 'pogema_tpu' has no attribute {name!r}")

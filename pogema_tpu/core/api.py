@@ -1,0 +1,167 @@
+"""Vectorized public core API.
+
+This layer has NO counterpart in the reference (SURVEY.md §1: "the
+reference has no vectorization layer") — it is the new first-class TPU
+dimension: ``reset``/``step`` from ``core.step`` vmapped over a batch of
+env instances and jitted, so B envs × N agents advance in one XLA program
+with zero host round-trips. The batch axis is the axis that shards over a
+``Mesh('data')`` for multi-chip runs (see ``pogema_tpu.parallel``).
+
+Auto-reset (in-step episode restart, SURVEY.md §7 ``autoreset.py``) comes
+in two flavors:
+
+* ``'cached'`` (default): finished envs are restored to their cached
+  reset-time state — zero extra compute per step (the standard JAX vec-env
+  idiom, cf. Brax/gymnax). Maps/placements repeat per env across episodes;
+  per-episode RNG (LifeLong respawns) still differs.
+* ``'regen'``: finished envs get a freshly generated map+placement. The
+  regeneration runs under a batch-level ``lax.cond`` so it costs nothing
+  on steps where no env finished (ideal when episodes end synchronously at
+  the time limit, e.g. LifeLong).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid_config import GridConfig, StaticConfig
+from . import metrics as metrics_mod
+from . import step as step_mod
+from .types import EnvState
+
+
+class PogemaCore:
+    """Batched functional environment: holds only static config + jitted
+    callables; all state is explicit (pure pytrees in, pytrees out)."""
+
+    def __init__(
+        self,
+        grid_config: GridConfig,
+        num_envs: int = 1,
+        auto_reset_mode: str = "cached",
+        maze: bool = False,
+        map_bank: Optional[np.ndarray] = None,
+    ):
+        self.grid_config = grid_config
+        self.cfg: StaticConfig = grid_config.to_static()
+        self.num_envs = int(num_envs)
+        if auto_reset_mode not in ("cached", "regen"):
+            raise ValueError("auto_reset_mode must be 'cached' or 'regen'")
+        self.auto_reset_mode = auto_reset_mode
+
+        cfg = self.cfg
+        fixed_map = None
+        if grid_config.map is not None:
+            m = np.asarray(grid_config.map, np.uint8)
+            if m.shape != (cfg.size, cfg.size):
+                padded = np.ones((cfg.size, cfg.size), np.uint8)
+                padded[: m.shape[0], : m.shape[1]] = m
+                m = padded
+            # numpy on purpose: host constants fold into the jitted program
+            # without a device round-trip at lowering time.
+            fixed_map = m
+        fixed_agents = (
+            np.asarray(grid_config.agents_xy, np.int32)[: cfg.num_agents]
+            if grid_config.agents_xy is not None
+            else None
+        )
+        fixed_targets = (
+            np.asarray(grid_config.targets_xy, np.int32)[: cfg.num_agents]
+            if grid_config.targets_xy is not None
+            else None
+        )
+        bank = np.asarray(map_bank, np.uint8) if map_bank is not None else None
+
+        def reset_env(key):
+            return step_mod.reset_one(
+                cfg, key, fixed_map, fixed_agents, fixed_targets, maze, bank
+            )
+
+        self._reset_env = reset_env
+
+        @jax.jit
+        def reset(key):
+            keys = jax.random.split(key, self.num_envs)
+            state = jax.vmap(reset_env)(keys)
+            obs = jax.vmap(partial(step_mod.observe_one, cfg))(state)
+            return state, obs
+
+        @jax.jit
+        def step(state, actions):
+            new_state, res = jax.vmap(partial(step_mod.step_one, cfg))(state, actions)
+            done = jax.vmap(partial(step_mod.episode_done, cfg))(new_state)
+            metrics = jax.vmap(partial(metrics_mod.episode_metrics, cfg))(new_state)
+            return new_state, res, done, metrics
+
+        self._reset = reset
+        self._step = step
+        self._step_auto = jax.jit(self._make_step_auto())
+
+    # -- plain (no auto-reset) ------------------------------------------
+
+    def reset(self, key):
+        """(state, observations) for B envs. key: single PRNG key."""
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        return self._reset(key)
+
+    def step(self, state, actions):
+        """No auto-reset: finished envs keep returning their final state.
+        Returns (state, StepResult, done bool[B], metrics dict of f32[B])."""
+        return self._step(state, jnp.asarray(actions))
+
+    # -- auto-reset ------------------------------------------------------
+
+    def _make_step_auto(self):
+        cfg = self.cfg
+        reset_env = self._reset_env
+        mode = self.auto_reset_mode
+
+        def select_done(done, fresh, current):
+            def sel(a, b):
+                d = done.reshape(done.shape + (1,) * (a.ndim - 1))
+                return jnp.where(d, a, b)
+
+            return jax.tree.map(sel, fresh, current)
+
+        def step_auto(state, initial_state, actions):
+            new_state, res = jax.vmap(partial(step_mod.step_one, cfg))(state, actions)
+            done = jax.vmap(partial(step_mod.episode_done, cfg))(new_state)
+            metrics = jax.vmap(partial(metrics_mod.episode_metrics, cfg))(new_state)
+
+            if mode == "cached":
+                # Restore cached initial state but advance the per-env key
+                # so successive episodes differ where RNG is consumed.
+                fresh = initial_state.replace(key=jax.vmap(_advance_key)(new_state.key))
+                reset_state = select_done(done, fresh, new_state)
+            else:  # 'regen'
+
+                def regen(ns):
+                    keys = jax.vmap(_advance_key)(ns.key)
+                    fresh = jax.vmap(reset_env)(keys)
+                    return select_done(done, fresh, ns)
+
+                reset_state = jax.lax.cond(
+                    jnp.any(done), regen, lambda ns: ns, new_state
+                )
+            obs = jax.vmap(partial(step_mod.observe_one, cfg))(reset_state)
+            return reset_state, obs, res, done, metrics
+
+        return step_auto
+
+    def step_autoreset(self, state, initial_state, actions):
+        """Auto-resetting step. ``initial_state`` is the pytree returned by
+        :meth:`reset` (used by 'cached' mode; pass the same object each
+        call). Returns (state, obs_after_reset, StepResult, done, metrics).
+        StepResult holds the PRE-reset rewards/flags/obs of this step;
+        ``obs_after_reset`` is what a learner should see next."""
+        return self._step_auto(state, initial_state, jnp.asarray(actions))
+
+
+def _advance_key(key):
+    return jax.random.split(key, 1)[0]

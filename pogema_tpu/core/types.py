@@ -1,0 +1,65 @@
+"""EnvState — the whole environment as one device pytree.
+
+TPU-native replacement for the reference's mutable ``Grid`` object
+(upstream: pogema/grid.py — obstacle matrix, positions_xy, finishes_xy,
+is_active): here every field is a JAX array with an optional leading batch
+axis ``B`` so thousands of envs step in lockstep under one jitted call,
+and the state shards over a ``Mesh('data')`` axis for multi-chip runs.
+
+Coordinates are (row, col) in the *padded* grid: the obstacle matrix is
+border-padded by ``obs_radius`` on every side (the reference's slicing
+trick), so a cell (x, y) of the logical S×S grid lives at
+(x + r, y + r) and observation windows never go out of bounds.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class EnvState:
+    # u8[..., P, P] with P = size + 2*obs_radius; 1 = obstacle.
+    obstacles: jnp.ndarray
+    # i32[..., N, 2] padded coords of agents / their goals.
+    agents_xy: jnp.ndarray
+    targets_xy: jnp.ndarray
+    # i32[..., P*P] connected-component label per padded cell (flood-fill
+    # fixpoint result; obstacles get label = P*P). Cached at reset so
+    # LifeLong respawn can sample within the agent's component on-device.
+    components: jnp.ndarray
+    # bool[..., N]: active = visible & moving (finish mode hides agents on
+    # goal); terminated = per-agent done flag as returned by step.
+    active: jnp.ndarray
+    terminated: jnp.ndarray
+    # bool[..., N]: ever reached its goal this episode (drives ISR/CSR).
+    on_goal_ever: jnp.ndarray
+    # i32[..., N]: number of goals achieved this episode (LifeLong throughput).
+    goals_achieved: jnp.ndarray
+    # LifeLong only (None otherwise): component-sorted cell table for O(1)
+    # on-device goal respawn — dict(cells, offset, count, rank), see
+    # generator.build_respawn_table.
+    respawn: object
+    # i32[...]: steps taken this episode.
+    step_count: jnp.ndarray
+    # PRNG key per env (consumed by LifeLong respawn and auto-reset).
+    key: jnp.ndarray
+
+    @property
+    def batch_shape(self):
+        return self.step_count.shape
+
+    @property
+    def num_agents(self):
+        return self.agents_xy.shape[-2]
+
+
+@flax.struct.dataclass
+class StepResult:
+    """Everything ``step`` hands back besides the new state."""
+
+    observations: object  # f32[..., N, 3, W, W] or a dict for POMAPF/MAPF
+    rewards: jnp.ndarray  # f32[..., N]
+    terminated: jnp.ndarray  # bool[..., N]
+    truncated: jnp.ndarray  # bool[..., N]

@@ -1,0 +1,168 @@
+"""Collision-system tests: handcrafted scenarios + randomized differential
+tests vs the NumPy oracle (SURVEY.md §4 implication (b))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pogema_tpu import GridConfig
+from pogema_tpu.core import collisions
+from pogema_tpu.utils.oracle import OracleEnv
+
+# Actions: 0=stay 1=up 2=down 3=left 4=right
+STAY, UP, DOWN, LEFT, RIGHT = range(5)
+
+
+def make_cfg(n, system, size=8):
+    return GridConfig(
+        seed=0, size=size, num_agents=n, obs_radius=1, collision_system=system
+    ).to_static()
+
+
+def empty_grid(cfg):
+    p = cfg.padded_size
+    g = np.ones((p, p), np.uint8)
+    r = cfg.obs_radius
+    g[r : r + cfg.size, r : r + cfg.size] = 0
+    return g
+
+
+def resolve(cfg, grid, xy, active, actions):
+    out = collisions.resolve_moves(
+        cfg,
+        jnp.asarray(grid),
+        jnp.asarray(xy, jnp.int32),
+        jnp.asarray(active),
+        jnp.asarray(actions, jnp.int32),
+    )
+    return np.asarray(out).tolist()
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_free_moves_apply(system):
+    cfg = make_cfg(2, system)
+    grid = empty_grid(cfg)
+    xy = [[2, 2], [5, 5]]
+    got = resolve(cfg, grid, xy, [True, True], [RIGHT, UP])
+    assert got == [[2, 3], [4, 5]]
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_obstacle_blocks(system):
+    cfg = make_cfg(1, system)
+    grid = empty_grid(cfg)
+    grid[2, 3] = 1
+    got = resolve(cfg, grid, [[2, 2]], [True], [RIGHT])
+    assert got == [[2, 2]]
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_border_blocks(system):
+    cfg = make_cfg(1, system)
+    grid = empty_grid(cfg)
+    r = cfg.obs_radius
+    got = resolve(cfg, grid, [[r, r]], [True], [UP])
+    assert got == [[r, r]]
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_swap_blocked(system):
+    cfg = make_cfg(2, system)
+    grid = empty_grid(cfg)
+    xy = [[2, 2], [2, 3]]
+    got = resolve(cfg, grid, xy, [True, True], [RIGHT, LEFT])
+    assert got == xy  # edge conflict: both stay in every system
+
+
+def test_vertex_conflict_priority_lower_index_wins():
+    cfg = make_cfg(2, "priority")
+    grid = empty_grid(cfg)
+    xy = [[2, 2], [2, 4]]
+    got = resolve(cfg, grid, xy, [True, True], [RIGHT, LEFT])
+    assert got == [[2, 3], [2, 4]]
+
+
+@pytest.mark.parametrize("system", ["block_both", "soft"])
+def test_vertex_conflict_both_stay(system):
+    cfg = make_cfg(2, system)
+    grid = empty_grid(cfg)
+    xy = [[2, 2], [2, 4]]
+    got = resolve(cfg, grid, xy, [True, True], [RIGHT, LEFT])
+    assert got == xy
+
+
+def test_chain_following_priority():
+    # A train moving right: in priority order, each agent follows the one
+    # ahead of it (earlier agents vacate first).
+    cfg = make_cfg(3, "priority")
+    grid = empty_grid(cfg)
+    xy = [[2, 4], [2, 3], [2, 2]]  # agent 0 leads
+    got = resolve(cfg, grid, xy, [True] * 3, [RIGHT] * 3)
+    assert got == [[2, 5], [2, 4], [2, 3]]
+
+
+def test_chain_following_soft_allowed_block_both_blocked():
+    xy = [[2, 2], [2, 3]]  # agent 1 ahead of agent 0? order: 0 behind 1
+    actions = [RIGHT, RIGHT]
+    cfg_soft = make_cfg(2, "soft")
+    grid = empty_grid(cfg_soft)
+    assert resolve(cfg_soft, grid, xy, [True, True], actions) == [[2, 3], [2, 4]]
+    cfg_bb = make_cfg(2, "block_both")
+    # block_both: follower blocked (target currently occupied), leader moves
+    assert resolve(cfg_bb, grid, xy, [True, True], actions) == [[2, 2], [2, 4]]
+
+
+def test_soft_chain_blocked_when_leader_blocked():
+    cfg = make_cfg(3, "soft")
+    grid = empty_grid(cfg)
+    grid[2, 5] = 1  # leader hits a wall
+    xy = [[2, 2], [2, 3], [2, 4]]
+    got = resolve(cfg, grid, xy, [True] * 3, [RIGHT] * 3)
+    assert got == xy
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_inactive_agents_dont_move_or_block(system):
+    cfg = make_cfg(2, system)
+    grid = empty_grid(cfg)
+    xy = [[2, 2], [2, 3]]
+    got = resolve(cfg, grid, xy, [True, False], [RIGHT, RIGHT])
+    assert got[0] == [2, 3]  # moves onto hidden agent's cell
+    assert got[1] == [2, 3]  # hidden agent never moves
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+@pytest.mark.parametrize("seed", range(8))
+def test_random_differential_vs_oracle(system, seed):
+    rng = np.random.default_rng(seed)
+    n = 12
+    cfg = make_cfg(n, system, size=8)
+    grid = empty_grid(cfg)
+    # random obstacles in the interior
+    r = cfg.obs_radius
+    interior = rng.random((cfg.size, cfg.size)) < 0.25
+    grid[r : r + cfg.size, r : r + cfg.size] = interior
+    free = np.argwhere(grid == 0)
+    idx = rng.choice(len(free), size=n, replace=False)
+    xy = free[idx]
+    active = rng.random(n) > 0.2
+    targets = free[rng.choice(len(free), size=n, replace=False)]
+
+    oracle = OracleEnv(cfg, grid, xy, targets, active=list(active))
+    for _ in range(20):
+        actions = rng.integers(0, 5, size=n)
+        got = resolve(cfg, grid, oracle.agents_xy, list(active), actions)
+        oracle_xy = {
+            "priority": oracle._move_priority,
+            "block_both": oracle._move_block_both,
+            "soft": oracle._move_soft,
+        }[system](actions)
+        oracle.agents_xy = oracle_xy
+        assert got == [list(t) for t in oracle_xy]
+        # invariant: no two active agents share a cell
+        occ = [tuple(c) for i, c in enumerate(oracle_xy) if active[i]]
+        assert len(occ) == len(set(occ))
+        # invariant: nobody stands on an obstacle
+        for x, y in oracle_xy:
+            assert grid[x, y] == 0
