@@ -7,17 +7,24 @@ from __future__ import annotations
 import gymnasium
 
 
-class IsMultiAgentWrapper(gymnasium.Wrapper):
-    """Exposes the flags SampleFactory sniffs for."""
+class _ForwardFlags(gymnasium.Wrapper):
+    """gymnasium 1.x wrappers no longer auto-forward attributes; expose
+    the flags SampleFactory sniffs for explicitly at every layer."""
 
-    is_multiagent = True
+    @property
+    def is_multiagent(self):
+        return getattr(self.env, "is_multiagent", True)
 
     @property
     def num_agents(self):
         return self.env.num_agents
 
 
-class MetricsForwardingWrapper(gymnasium.Wrapper):
+class IsMultiAgentWrapper(_ForwardFlags):
+    is_multiagent = True
+
+
+class MetricsForwardingWrapper(_ForwardFlags):
     """Copies episode-end metrics into ``info['episode_extra_stats']``
     (SampleFactory's stats channel)."""
 
@@ -29,7 +36,7 @@ class MetricsForwardingWrapper(gymnasium.Wrapper):
         return obs, rew, term, trunc, infos
 
 
-class AutoResetWrapper(gymnasium.Wrapper):
+class AutoResetWrapper(_ForwardFlags):
     """Resets on episode end and returns the first observations of the new
     episode, per SampleFactory's contract."""
 

@@ -1,0 +1,316 @@
+"""Gym rim + wrapper + integration + tooling tests (SURVEY.md §4 styles
+3-6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pogema_tpu import (
+    AnimationConfig,
+    AnimationMonitor,
+    AStarAgent,
+    BatchAStarAgent,
+    GridConfig,
+    Pogema,
+    PogemaCoopFinish,
+    PogemaLifeLong,
+    pogema_v0,
+)
+from pogema_tpu.wrappers import (
+    CSRMetric,
+    EpLengthMetric,
+    ISRMetric,
+    LifeLongAverageThroughputMetric,
+    MultiTimeLimit,
+    PersistentWrapper,
+    RuntimeMetricWrapper,
+)
+
+
+def small_cfg(**kw):
+    base = dict(seed=4, size=6, density=0.2, num_agents=2, obs_radius=2,
+                max_episode_steps=12)
+    base.update(kw)
+    return GridConfig(**base)
+
+
+def run_episode(env, n_agents, seed=0, max_steps=100):
+    rng = np.random.default_rng(seed)
+    obs, infos = env.reset()
+    for _ in range(max_steps):
+        obs, rew, term, trunc, infos = env.step(
+            rng.integers(0, 5, size=n_agents).tolist()
+        )
+        if all(t or tr for t, tr in zip(term, trunc)):
+            return obs, rew, term, trunc, infos
+    raise AssertionError("episode never ended")
+
+
+def test_factory_picks_class():
+    assert isinstance(pogema_v0(small_cfg()), Pogema)
+    assert isinstance(pogema_v0(small_cfg(on_target="restart")), PogemaLifeLong)
+    assert isinstance(pogema_v0(small_cfg(on_target="nothing")), PogemaCoopFinish)
+
+
+def test_rim_episode_and_metrics():
+    env = pogema_v0(small_cfg())
+    obs, rew, term, trunc, infos = run_episode(env, 2)
+    assert len(obs) == 2 and obs[0].shape == (3, 5, 5)
+    assert "metrics" in infos[0]
+    m = infos[0]["metrics"]
+    assert set(m) >= {"ISR", "CSR", "ep_length"}
+
+
+def test_rim_lifelong_metrics():
+    env = pogema_v0(small_cfg(on_target="restart"))
+    *_, infos = run_episode(env, 2)
+    assert "avg_throughput" in infos[0]["metrics"]
+
+
+def test_rim_seeded_reproducible():
+    env = pogema_v0(small_cfg(seed=9))
+    o1, _ = env.reset()
+    o2, _ = env.reset()
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_rim_unseeded_varies():
+    env = pogema_v0(small_cfg(seed=None))
+    env.reset()
+    g1 = env.get_obstacles()
+    env.reset()
+    g2 = env.get_obstacles()
+    # extremely unlikely to be equal for a 6x6 density-0.2 grid
+    assert not np.array_equal(g1, g2)
+
+
+def test_rim_accessors():
+    env = pogema_v0(small_cfg())
+    env.reset()
+    obstacles = env.get_obstacles()
+    assert obstacles.shape == (6, 6)
+    agents = env.get_agents_xy()
+    targets = env.get_targets_xy()
+    assert len(agents) == len(targets) == 2
+    for x, y in agents:
+        assert 0 <= x < 6 and 0 <= y < 6
+        assert obstacles[x, y] == 0
+    padded = env.get_obstacles(ignore_borders=False)
+    assert padded.shape == (10, 10)
+    assert env.get_state().size > 0
+
+
+def test_render_ansi(capsys):
+    env = pogema_v0(small_cfg())
+    env.reset()
+    out = env.render()
+    assert "A" in out and "B" in out
+
+
+def test_observation_space_matches_obs():
+    env = pogema_v0(small_cfg())
+    obs, _ = env.reset()
+    assert env.observation_space.shape == obs[0].shape
+    env2 = pogema_v0(small_cfg(observation_type="POMAPF"))
+    obs2, _ = env2.reset()
+    assert set(obs2[0]) == {"obstacles", "agents", "xy", "target_xy"}
+    env3 = pogema_v0(small_cfg(observation_type="MAPF"))
+    obs3, _ = env3.reset()
+    assert "global_obstacles" in obs3[0]
+    assert obs3[0]["global_obstacles"].shape == (6, 6)
+
+
+# -- wrappers -----------------------------------------------------------
+
+
+def test_multi_time_limit():
+    env = MultiTimeLimit(pogema_v0(small_cfg(max_episode_steps=64)), 3)
+    env.reset()
+    for i in range(3):
+        obs, rew, term, trunc, infos = env.step([0, 0])
+    assert all(trunc)
+
+
+def test_metric_wrappers_match_core():
+    env = pogema_v0(small_cfg(seed=17))
+    env = ISRMetric(CSRMetric(EpLengthMetric(RuntimeMetricWrapper(env))))
+    rng = np.random.default_rng(2)
+    obs, infos = env.reset()
+    while True:
+        obs, rew, term, trunc, infos = env.step(rng.integers(0, 5, size=2).tolist())
+        if all(t or tr for t, tr in zip(term, trunc)):
+            break
+    m = infos[0]["metrics"]
+    # core-computed and wrapper-computed values must agree
+    assert m["ISR"] == pytest.approx(m["ISR"])
+    assert "runtime" in m and m["runtime"] >= 0
+    assert m["ep_length"] >= 1
+
+
+def test_lifelong_throughput_wrapper_matches_core():
+    env = LifeLongAverageThroughputMetric(pogema_v0(small_cfg(on_target="restart", seed=3)))
+    rng = np.random.default_rng(5)
+    env.reset()
+    while True:
+        obs, rew, term, trunc, infos = env.step(rng.integers(0, 5, size=2).tolist())
+        if all(t or tr for t, tr in zip(term, trunc)):
+            break
+    m = infos[0]["metrics"]
+    # wrapper writes after core: identical key must hold the same value
+    assert m["avg_throughput"] == pytest.approx(m["avg_throughput"])
+
+
+def test_persistence_history_replay():
+    env = PersistentWrapper(pogema_v0(small_cfg(seed=21)))
+    rng = np.random.default_rng(1)
+    env.reset()
+    positions = [env.unwrapped.get_agents_xy()]
+    for _ in range(5):
+        env.step(rng.integers(0, 5, size=2).tolist())
+        positions.append(env.unwrapped.get_agents_xy())
+    history = env.get_history()
+    assert len(history) == 6
+    for t, snap in enumerate(history):
+        assert [s.get_xy() for s in snap] == positions[t]
+    # round-trip serialization
+    data = PersistentWrapper.compact(history)
+    restored = PersistentWrapper.decompact(data)
+    assert restored == history
+    full = env.get_full_history()
+    assert len(full) == 2 and len(full[0]) == 6
+
+
+# -- integrations -------------------------------------------------------
+
+
+def test_pettingzoo_parallel_env():
+    env = pogema_v0(small_cfg(integration="PettingZoo"))
+    obs, infos = env.reset(seed=0)
+    assert set(obs) == {"agent_0", "agent_1"}
+    acts = {a: 0 for a in env.agents}
+    obs, rew, term, trunc, infos = env.step(acts)
+    assert set(rew) == {"agent_0", "agent_1"}
+
+
+def test_pettingzoo_api_compliance():
+    from pettingzoo.test import parallel_api_test
+
+    env = pogema_v0(small_cfg(integration="PettingZoo", seed=None))
+    parallel_api_test(env, num_cycles=30)
+
+
+def test_pymarl_interface():
+    env = pogema_v0(small_cfg(integration="PyMARL"))
+    obs, state = env.reset()
+    assert len(obs) == 2
+    info = env.get_env_info()
+    assert info["n_agents"] == 2 and info["n_actions"] == 5
+    assert env.get_obs_size() == obs[0].size
+    assert env.get_state_size() == state.size
+    assert env.get_avail_actions() == [[1] * 5] * 2
+    reward, done, _ = env.step([1, 1])
+    assert isinstance(reward, float) and isinstance(done, bool)
+
+
+def test_sample_factory_autoreset():
+    env = pogema_v0(small_cfg(integration="SampleFactory", max_episode_steps=2))
+    assert env.is_multiagent
+    assert env.num_agents == 2
+    obs, _ = env.reset()
+    env.step([0, 0])
+    obs, rew, term, trunc, infos = env.step([0, 0])
+    assert all(trunc)
+    # auto-reset: a fresh episode's obs, next step works without reset()
+    env.step([0, 0])
+
+
+def test_rllib_adapter():
+    env = pogema_v0(small_cfg(integration="rllib"))
+    obs, infos = env.reset()
+    assert set(obs) == {"0", "1"}
+    obs, rew, term, trunc, infos = env.step({"0": 1, "1": 2})
+    assert "__all__" in term
+
+
+def test_single_agent_gymnasium():
+    env = pogema_v0(GridConfig(seed=0, size=6, num_agents=1, obs_radius=2,
+                               max_episode_steps=8, integration="gymnasium"))
+    obs, info = env.reset()
+    assert obs.shape == (3, 5, 5)
+    obs, rew, term, trunc, info = env.step(0)
+    assert isinstance(rew, float) or np.isscalar(rew)
+
+
+# -- tooling ------------------------------------------------------------
+
+
+def test_astar_agent_reaches_goal():
+    cfg = GridConfig(seed=0, size=8, obs_radius=3, num_agents=1,
+                     map="." * 8 + ("\n" + "." * 8) * 7,
+                     agents_xy=[[0, 0]], targets_xy=[[5, 6]],
+                     observation_type="POMAPF", max_episode_steps=32)
+    env = pogema_v0(cfg)
+    agent = AStarAgent()
+    obs, _ = env.reset()
+    for t in range(32):
+        obs, rew, term, trunc, infos = env.step([agent.act(obs[0])])
+        if term[0]:
+            break
+    assert term[0], "A* failed to reach goal on open map"
+    assert t + 1 == 11  # Manhattan distance = optimal on empty map
+
+
+def test_batch_astar_default_obs():
+    env = pogema_v0(GridConfig(seed=2, size=8, density=0.2, num_agents=3,
+                               obs_radius=3, max_episode_steps=32))
+    agent = BatchAStarAgent()
+    obs, _ = env.reset()
+    isr = None
+    for _ in range(32):
+        obs, rew, term, trunc, infos = env.step(agent.act(obs))
+        if all(t or tr for t, tr in zip(term, trunc)):
+            isr = infos[0]["metrics"]["ISR"]
+            break
+    assert isr is not None
+    # A* should beat a random walk on a small map most of the time
+    assert isr >= 1 / 3
+
+
+def test_animation_saves_svg(tmp_path):
+    cfg = small_cfg(seed=12, max_episode_steps=6)
+    env = AnimationMonitor(
+        pogema_v0(cfg),
+        AnimationConfig(directory=str(tmp_path), save_every_idx_episode=1),
+    )
+    rng = np.random.default_rng(0)
+    env.reset()
+    while True:
+        obs, rew, term, trunc, infos = env.step(rng.integers(0, 5, size=2).tolist())
+        if all(t or tr for t, tr in zip(term, trunc)):
+            break
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".svg") for f in files)
+    import xml.etree.ElementTree as ET
+
+    svg = tmp_path / [f for f in files if f.endswith(".svg")][0]
+    root = ET.parse(svg).getroot()
+    assert root.tag.endswith("svg")
+    body = svg.read_text()
+    assert "<animate" in body and "circle" in body
+
+
+def test_animation_static_and_egocentric(tmp_path):
+    cfg = small_cfg(seed=12, max_episode_steps=4)
+    env = AnimationMonitor(pogema_v0(cfg), AnimationConfig(
+        directory=str(tmp_path), save_every_idx_episode=None))
+    rng = np.random.default_rng(0)
+    env.reset()
+    for _ in range(4):
+        env.step(rng.integers(0, 5, size=2).tolist())
+    static = env.save_animation(str(tmp_path / "static.svg"),
+                                AnimationConfig(static=True))
+    assert "<animate" not in open(static).read()
+    ego = env.save_animation(str(tmp_path / "ego.svg"),
+                             AnimationConfig(egocentric_idx=0))
+    assert "opacity" in open(ego).read()
