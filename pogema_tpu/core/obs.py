@@ -2,37 +2,25 @@
 per-agent window extraction (upstream: pogema/grid.py window getters +
 pogema/envs.py ``_obtain_observations``, SURVEY.md §2 "Observations").
 
-One env, no batch axis (caller vmaps). Windows are (2r+1)×(2r+1) slices of
-the obstacle-border-padded grid, taken with ``lax.dynamic_slice`` vmapped
-over agents — XLA lowers the batch of slices to one gather, so the whole
-observation tensor for N agents is a single fused op on TPU.
+One env, no batch axis (caller vmaps).
+
+TPU-native path (see ops/windows.py for the rationale and measurements):
+* obstacle windows: one-hot row/column selector einsums on the MXU —
+  batched ``dynamic_slice`` lowers to element-at-a-time gathers on TPU
+  and measured ~50x slower at config-C scale;
+* agents channel: pairwise [N, N] relative-offset one-hot contraction —
+  no occupancy grid is ever materialized;
+* target channel: analytic (clamped relative offset scattered into a
+  [N, w, w] zeros — N items only).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..grid_config import StaticConfig
-
-
-def _windows(grid, agents_xy, w, r):
-    """f32[N, W, W]: per-agent egocentric windows of a [P, P] grid."""
-
-    def one(xy):
-        return lax.dynamic_slice(grid, (xy[0] - r, xy[1] - r), (w, w))
-
-    return jax.vmap(one)(agents_xy).astype(jnp.float32)
-
-
-def agents_occupancy(cfg: StaticConfig, agents_xy, active):
-    """u8[P, P]: 1 where an *active* agent stands (hidden agents excluded,
-    matching the reference's hide_agent behavior)."""
-    p = cfg.padded_size
-    cells = agents_xy[..., 0] * p + agents_xy[..., 1]
-    occ = jnp.zeros(p * p, jnp.uint8).at[cells].max(active.astype(jnp.uint8))
-    return occ.reshape(p, p)
+from ..ops.windows import extract_windows, pairwise_agent_windows
 
 
 def target_channel(cfg: StaticConfig, agents_xy, targets_xy):
@@ -42,8 +30,13 @@ def target_channel(cfg: StaticConfig, agents_xy, targets_xy):
     w = cfg.window
     n = cfg.num_agents
     rel = jnp.clip(targets_xy - agents_xy, -r, r) + r  # i32[N, 2] in [0, 2r]
-    ch = jnp.zeros((n, w, w), jnp.float32)
-    return ch.at[jnp.arange(n), rel[:, 0], rel[:, 1]].set(1.0)
+    # One-hot outer product instead of an N-item scatter (TPU scatters
+    # serialize; this is a fused VPU elementwise op).
+    iota = jnp.arange(w, dtype=jnp.int32)
+    oh_x = (rel[:, 0:1] == iota[None, :]).astype(jnp.float32)  # [N, w]
+    oh_y = (rel[:, 1:2] == iota[None, :]).astype(jnp.float32)
+    del n
+    return oh_x[:, :, None] * oh_y[:, None, :]
 
 
 def observe(cfg: StaticConfig, obstacles, agents_xy, targets_xy, active):
@@ -57,11 +50,9 @@ def observe(cfg: StaticConfig, obstacles, agents_xy, targets_xy, active):
     """
     r = cfg.obs_radius
     w = cfg.window
-    grid_f = obstacles.astype(jnp.float32)
-    occ = agents_occupancy(cfg, agents_xy, active).astype(jnp.float32)
 
-    obst_w = _windows(grid_f, agents_xy, w, r)
-    agents_w = _windows(occ, agents_xy, w, r)
+    obst_w = extract_windows(obstacles, agents_xy, w)
+    agents_w = pairwise_agent_windows(agents_xy, active, w)
 
     if cfg.observation_type == "default":
         targ_w = target_channel(cfg, agents_xy, targets_xy)

@@ -1,0 +1,13 @@
+from .mesh import make_mesh, shard_batch, initialize_distributed
+from .rollout import make_rollout_fn
+from .learner import PPOConfig, make_train_step, init_train_state
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "initialize_distributed",
+    "make_rollout_fn",
+    "PPOConfig",
+    "make_train_step",
+    "init_train_state",
+]

@@ -1,0 +1,182 @@
+"""Sharded PPO learner over the vectorized env (SURVEY.md §2/§7: the
+batch-data-parallel MARL learner with gradient psum over the mesh — the
+component the reference delegates to external RL frameworks).
+
+One ``train_step`` = rollout T steps (lax.scan, on-device) -> GAE ->
+E epochs × M minibatches of clipped-surrogate updates (again lax.scan).
+Everything jits into a single XLA program; with EnvState and trajectories
+sharded over the mesh 'data' axis and params replicated, XLA turns the
+loss/grad means into psums over ICI automatically (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from .rollout import Transition, make_rollout_fn
+
+
+@flax.struct.dataclass
+class PPOConfig:
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    rollout_steps: int = 128
+    epochs: int = 2
+    minibatches: int = 4
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    initial_env_state: Any
+    obs: jnp.ndarray
+    key: jnp.ndarray
+
+
+def init_train_state(core, model, params, config: PPOConfig, key) -> tuple:
+    """Returns (TrainState, optax optimizer)."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.lr),
+    )
+    key, k_reset = jax.random.split(key)
+    env_state, obs = core.reset(k_reset)
+    return (
+        TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            env_state=env_state,
+            initial_env_state=env_state,
+            obs=obs,
+            key=key,
+        ),
+        tx,
+    )
+
+
+def compute_gae(traj: Transition, last_values, gamma, lam):
+    """Per-agent GAE over the time axis; resets at per-agent dones."""
+
+    def one(carry, step):
+        gae, next_value = carry
+        value, reward, done = step
+        not_done = 1.0 - done.astype(jnp.float32)
+        delta = reward + gamma * next_value * not_done - value
+        gae = delta + gamma * lam * not_done * gae
+        return (gae, value), gae
+
+    (_, _), advantages = lax.scan(
+        one,
+        (jnp.zeros_like(last_values), last_values),
+        (traj.values, traj.rewards, traj.dones),
+        reverse=True,
+    )
+    return advantages, advantages + traj.values
+
+
+def make_train_step(core, model, config: PPOConfig, tx):
+    """Returns jit-able train_step(TrainState) -> (TrainState, stats)."""
+    apply_fn = model.apply
+    rollout = make_rollout_fn(core, apply_fn, config.rollout_steps)
+
+    def loss_fn(params, batch):
+        obs, actions, old_log_probs, advantages, targets = batch
+        logits, values = apply_fn(params, obs)
+        log_probs_all = jax.nn.log_softmax(logits)
+        log_probs = jnp.take_along_axis(
+            log_probs_all, actions[..., None], axis=-1
+        )[..., 0]
+        ratio = jnp.exp(log_probs - old_log_probs)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((values - targets) ** 2)
+        entropy = -jnp.mean(
+            jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
+        )
+        total = pg_loss + config.vf_coef * v_loss - config.entropy_coef * entropy
+        return total, (pg_loss, v_loss, entropy)
+
+    def train_step(ts: TrainState):
+        env_state, obs, key, traj = rollout(
+            ts.params, ts.env_state, ts.initial_env_state, ts.obs, ts.key
+        )
+        _, last_values = apply_fn(ts.params, obs)
+        advantages, targets = compute_gae(
+            traj, last_values, config.gamma, config.gae_lambda
+        )
+
+        # Flatten (T, B, N, ...) -> (T*B*N, ...); keep it simple and let
+        # the 'data' sharding of B propagate through the reshape.
+        def flat(x):
+            return x.reshape((-1,) + x.shape[3:])
+
+        dataset = (
+            flat(traj.obs),
+            flat(traj.actions),
+            flat(traj.log_probs),
+            flat(advantages),
+            flat(targets),
+        )
+        n = dataset[1].shape[0]
+        mb = n // config.minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n)
+            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
+                )
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), stats = lax.scan(
+                minibatch, (params, opt_state), jnp.arange(config.minibatches)
+            )
+            return (params, opt_state, key), stats
+
+        (params, opt_state, key), stats = lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=config.epochs
+        )
+        new_ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=key,
+        )
+        loss, pg, vl, ent = (s.mean() for s in stats)
+        out = {
+            "loss": loss,
+            "pg_loss": pg,
+            "v_loss": vl,
+            "entropy": ent,
+            "reward_per_step": traj.rewards.mean(),
+            "episode_metric_ISR": traj.dones.mean(),
+        }
+        return new_ts, out
+
+    return train_step

@@ -1,0 +1,60 @@
+"""On-device trajectory collection: ``lax.scan`` over env steps with the
+policy in the loop — zero host round-trips for the whole rollout
+(SURVEY.md §7 "shard_map-ped rollout+learner"). The env batch axis is
+sharded over the mesh 'data' axis; each chip steps its slice in lockstep.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@flax.struct.dataclass
+class Transition:
+    obs: jnp.ndarray  # f32[T, B, N, 3, W, W]
+    actions: jnp.ndarray  # i32[T, B, N]
+    log_probs: jnp.ndarray  # f32[T, B, N]
+    values: jnp.ndarray  # f32[T, B, N]
+    rewards: jnp.ndarray  # f32[T, B, N]
+    dones: jnp.ndarray  # bool[T, B, N] (per-agent terminated|truncated)
+    env_dones: jnp.ndarray  # bool[T, B]
+
+
+def make_rollout_fn(core, apply_fn, num_steps: int):
+    """Returns rollout(params, env_state, initial_state, obs, key) ->
+    (env_state, obs, key, Transition). ``initial_state`` feeds the
+    'cached' auto-reset (see core.api)."""
+    step_auto = core._make_step_auto()
+
+    def rollout(params, env_state, initial_state, obs, key):
+        def one(carry, _):
+            env_state, obs, key = carry
+            key, k_act = jax.random.split(key)
+            logits, values = apply_fn(params, obs)
+            actions = jax.random.categorical(k_act, logits)
+            log_probs = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), actions[..., None], axis=-1
+            )[..., 0]
+            new_state, new_obs, res, env_done, _ = step_auto(
+                env_state, initial_state, actions
+            )
+            tr = Transition(
+                obs=obs,
+                actions=actions.astype(jnp.int32),
+                log_probs=log_probs,
+                values=values,
+                rewards=res.rewards,
+                dones=res.terminated | res.truncated,
+                env_dones=env_done,
+            )
+            return (new_state, new_obs, key), tr
+
+        (env_state, obs, key), traj = lax.scan(
+            one, (env_state, obs, key), None, length=num_steps
+        )
+        return env_state, obs, key, traj
+
+    return rollout
