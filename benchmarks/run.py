@@ -1,0 +1,125 @@
+"""Benchmark matrix — the BASELINE.md config table (A-E), one JSON line
+per config.
+
+Usage: python benchmarks/run.py [A B C D E] [--steps 256]
+
+Metric: env-steps/s (one env-step = one step of one env instance; a
+jitted call over B envs counts as B). Timing is best-of-3 with a forced
+scalar fetch (see bench.py for why block_until_ready is not enough on the
+tunneled axon backend).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+sys.path.insert(0, "/root/repo")
+
+CONFIGS = {
+    # BASELINE.json configs A-E
+    "A": dict(envs=1, agents=1, size=8, density=0.3, obs_radius=5, maze=False),
+    "B": dict(envs=256, agents=8, size=16, density=0.3, obs_radius=5, maze=False),
+    "C": dict(envs=4096, agents=64, size=64, density=0.3, obs_radius=5, maze=True),
+    "D": dict(envs=4096, agents=128, size=64, density=0.3, obs_radius=5,
+              maze=False, on_target="restart"),
+    "E": dict(envs=8192, agents=256, size=128, density=0.3, obs_radius=5,
+              maze="mixed"),
+}
+
+
+def make_mixed_bank(size: int, k: int = 64):
+    """Half Bernoulli-random, half sidewinder mazes (config E 'mixed
+    random+maze pool'), generated on device."""
+    from pogema_tpu import GridConfig
+    from pogema_tpu.core import generator
+
+    cfg = GridConfig(seed=0, size=size).to_static()
+
+    def one_random(key):
+        return generator.bernoulli_obstacles(cfg, key)
+
+    def one_maze(key):
+        return generator.sidewinder_maze(cfg, key)
+
+    keys = jax.random.split(jax.random.key(123), k)
+    rand = jax.vmap(one_random)(keys[: k // 2])
+    maze = jax.vmap(one_maze)(keys[k // 2 :])
+    return jnp.concatenate([rand, maze], axis=0)
+
+
+def run_config(name: str, steps: int, collision_system: str) -> dict:
+    from pogema_tpu import GridConfig, PogemaCore
+
+    spec = dict(CONFIGS[name])
+    envs = spec.pop("envs")
+    agents = spec.pop("agents")
+    size = spec.pop("size")
+    maze = spec.pop("maze")
+    on_target = spec.pop("on_target", "finish")
+    density = spec.pop("density")
+    obs_radius = spec.pop("obs_radius")
+
+    cfg = GridConfig(
+        seed=0, size=size, num_agents=agents, obs_radius=obs_radius,
+        density=density, max_episode_steps=128, on_target=on_target,
+        collision_system=collision_system,
+    )
+    bank = make_mixed_bank(size) if maze == "mixed" else None
+    core = PogemaCore(
+        cfg, num_envs=envs, maze=(maze is True), map_bank=bank
+    )
+    step_auto = core._make_step_auto()
+    state, _ = core.reset(jax.random.key(0))
+
+    def run(state, initial_state, key, num_steps):
+        def one(carry, _):
+            s, k = carry
+            k, kk = jax.random.split(k)
+            a = jax.random.randint(kk, (envs, agents), 0, 5, dtype=jnp.int32)
+            ns, _, res, _, _ = step_auto(s, initial_state, a)
+            return (ns, k), res.rewards.sum()
+
+        (s, _), rews = lax.scan(one, (state, key), None, length=num_steps)
+        return s, rews.sum()
+
+    run_jit = jax.jit(run, static_argnums=(3,))
+    s2, _ = run_jit(state, state, jax.random.key(1), steps)
+    jax.block_until_ready(s2)
+    dt = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        _, rew = run_jit(s2, state, jax.random.key(2 + trial), steps)
+        float(rew)
+        dt = min(dt, time.perf_counter() - t0)
+    value = envs * steps / dt
+    return {
+        "config": name,
+        "metric": f"env-steps/s ({agents} agents, {size}x{size}, {envs} envs, "
+                  f"{on_target}, {collision_system})",
+        "value": round(value),
+        "unit": "env-steps/s",
+        "steps_timed": steps,
+        "sec_per_vec_step_ms": round(dt / steps * 1e3, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("configs", nargs="*", default=["A", "B", "C", "D"])
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--collision-system", default="priority")
+    args = ap.parse_args()
+    for name in args.configs:
+        out = run_config(name, args.steps, args.collision_system)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

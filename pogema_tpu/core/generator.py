@@ -252,6 +252,45 @@ def build_respawn_table(components: jnp.ndarray, p: int):
     return {"cells": order, "offset": offset, "count": count, "rank": rank}
 
 
+def build_target_queue(key, table, components, target_cells, queue_len: int, p: int):
+    """i16[N, Q, 2] queue of future LifeLong goals per agent.
+
+    Entry (n, k) is a uniform free cell of agent n's component with
+    q_{k} != q_{k-1} (q_{-1} = the initial target), so when a goal is
+    reached the queue head always differs from the cell the agent stands
+    on — replacing upstream generate_new_target's "exclude current
+    position" (pogema/generator.py) without a step-time gather. Uses the
+    double-draw trick: two iid draws per slot, the second used when the
+    first collides with the previous entry (the rare double collision is
+    accepted — probability 1/|component|^2).
+
+    Runs at reset only; the batched gathers here are off the hot path.
+    """
+    n = target_cells.shape[0]
+    comp = components[target_cells]  # component per agent (target & start share it)
+    off = table["offset"][comp]  # [N]
+    cnt = table["count"][comp]
+    k1, k2 = jax.random.split(key)
+    shape = (n, queue_len)
+    j1 = jax.random.randint(k1, shape, 0, jnp.maximum(cnt, 1)[:, None])
+    j2 = jax.random.randint(k2, shape, 0, jnp.maximum(cnt, 1)[:, None])
+    cells1 = table["cells"][off[:, None] + j1]  # [N, Q]
+    cells2 = table["cells"][off[:, None] + j2]
+
+    def body(prev, slot):
+        c1, c2 = slot
+        q = jnp.where(c1 != prev, c1, c2)
+        return q, q
+
+    _, queue = lax.scan(
+        body, target_cells, (cells1.T, cells2.T)
+    )  # [Q, N]
+    queue = queue.T  # [N, Q]
+    # Degenerate single-cell components: stay on the initial target.
+    queue = jnp.where(cnt[:, None] <= 1, target_cells[:, None], queue)
+    return cells_to_xy(queue, p).astype(jnp.int16)
+
+
 def sample_new_target(key, table, components, agent_cell):
     """Uniform free cell of ``agent_cell``'s component, excluding the agent
     cell itself (= the just-reached goal). TPU-native replacement for
@@ -278,7 +317,7 @@ def _make_map(cfg: StaticConfig, key, fixed_map, map_bank, maze: bool):
         return pad_grid(cfg, fixed_map)
     if map_bank is not None:
         idx = jax.random.randint(key, (), 0, map_bank.shape[0])
-        return pad_grid(cfg, map_bank[idx])
+        return pad_grid(cfg, jnp.asarray(map_bank)[idx])
     grid = sidewinder_maze(cfg, key) if maze else bernoulli_obstacles(cfg, key)
     return pad_grid(cfg, grid)
 

@@ -28,8 +28,11 @@ from . import collisions, generator, obs as obs_mod
 from .types import EnvState, StepResult
 
 
-def _needs_respawn_table(cfg: StaticConfig) -> bool:
-    return cfg.on_target == "restart"
+def _queue_len(cfg: StaticConfig) -> int:
+    # An agent can score at most once per step; cap the pre-sampled goal
+    # queue at 64 (it wraps cyclically if exhausted — only reachable in
+    # degenerate tiny-component episodes).
+    return min(cfg.max_episode_steps, 64)
 
 
 def reset_one(
@@ -42,18 +45,24 @@ def reset_one(
     map_bank=None,
 ) -> EnvState:
     """Fresh EnvState for one env. jit/vmap-compatible."""
-    key, gen_key = jax.random.split(key)
+    key, gen_key, queue_key = jax.random.split(key, 3)
     grid, agents_xy, targets_xy, comps = generator.generate_env(
         cfg, gen_key, fixed_map, fixed_agents_xy, fixed_targets_xy, maze, map_bank
     )
     n = cfg.num_agents
-    lifelong = _needs_respawn_table(cfg)
+    target_queue = None
+    if cfg.on_target == "restart":
+        table = generator.build_respawn_table(comps, cfg.padded_size)
+        target_queue = generator.build_target_queue(
+            queue_key, table, comps,
+            generator.xy_to_cells(targets_xy, cfg.padded_size),
+            _queue_len(cfg), cfg.padded_size,
+        )
     return EnvState(
         obstacles=grid,
         agents_xy=agents_xy,
         targets_xy=targets_xy,
-        components=comps if lifelong else None,
-        respawn=generator.build_respawn_table(comps, cfg.padded_size) if lifelong else None,
+        target_queue=target_queue,
         active=jnp.ones(n, bool),
         terminated=jnp.zeros(n, bool),
         on_goal_ever=jnp.zeros(n, bool),
@@ -82,6 +91,7 @@ def step_one(cfg: StaticConfig, state: EnvState, actions):
     active = state.active
     terminated = state.terminated
     targets_xy = state.targets_xy
+    target_queue = state.target_queue
     key = state.key
     goals_achieved = state.goals_achieved + on_goal.astype(jnp.int32)
     on_goal_ever = state.on_goal_ever | on_goal
@@ -96,18 +106,13 @@ def step_one(cfg: StaticConfig, state: EnvState, actions):
         terminated = jnp.broadcast_to(all_on_goal, (n,))
     else:  # 'restart' (LifeLong)
         rewards = on_goal.astype(jnp.float32)
-        key, respawn_key = jax.random.split(key)
-        table = state.respawn
-        agent_cells = generator.xy_to_cells(new_xy, p)
-
-        def respawn(i, cell):
-            return generator.sample_new_target(
-                jax.random.fold_in(respawn_key, i), table, state.components, cell
-            )
-
-        new_target_cells = jax.vmap(respawn)(jnp.arange(n), agent_cells)
-        new_targets = generator.cells_to_xy(new_target_cells, p)
+        # Gather-free respawn: take the pre-sampled queue head and roll
+        # the queue for agents that scored (see build_target_queue).
+        queue = state.target_queue  # i16[N, Q, 2]
+        new_targets = queue[:, 0, :].astype(jnp.int32)
         targets_xy = jnp.where(on_goal[:, None], new_targets, targets_xy)
+        rolled = jnp.roll(queue, -1, axis=1)
+        target_queue = jnp.where(on_goal[:, None, None], rolled, queue)
 
     step_count = state.step_count + 1
     truncated = jnp.broadcast_to(step_count >= cfg.max_episode_steps, (n,))
@@ -115,6 +120,7 @@ def step_one(cfg: StaticConfig, state: EnvState, actions):
     new_state = state.replace(
         agents_xy=new_xy,
         targets_xy=targets_xy,
+        target_queue=target_queue,
         active=active,
         terminated=terminated,
         on_goal_ever=on_goal_ever,

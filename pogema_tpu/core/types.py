@@ -25,10 +25,13 @@ class EnvState:
     # i32[..., N, 2] padded coords of agents / their goals.
     agents_xy: jnp.ndarray
     targets_xy: jnp.ndarray
-    # i32[..., P*P] connected-component label per padded cell (flood-fill
-    # fixpoint result; obstacles get label = P*P). Cached at reset so
-    # LifeLong respawn can sample within the agent's component on-device.
-    components: jnp.ndarray
+    # LifeLong only (None otherwise): i16[..., N, Q, 2] pre-sampled queue
+    # of future goal cells per agent, all inside the agent's connected
+    # component with consecutive entries distinct (so the head never
+    # equals the just-reached goal the agent stands on). Respawn = take
+    # the head + roll left by one for agents that scored — no gathers on
+    # the step path (TPU gathers serialize; see ops/windows.py).
+    target_queue: jnp.ndarray
     # bool[..., N]: active = visible & moving (finish mode hides agents on
     # goal); terminated = per-agent done flag as returned by step.
     active: jnp.ndarray
@@ -37,10 +40,6 @@ class EnvState:
     on_goal_ever: jnp.ndarray
     # i32[..., N]: number of goals achieved this episode (LifeLong throughput).
     goals_achieved: jnp.ndarray
-    # LifeLong only (None otherwise): component-sorted cell table for O(1)
-    # on-device goal respawn — dict(cells, offset, count, rank), see
-    # generator.build_respawn_table.
-    respawn: object
     # i32[...]: steps taken this episode.
     step_count: jnp.ndarray
     # PRNG key per env (consumed by LifeLong respawn and auto-reset).

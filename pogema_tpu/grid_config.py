@@ -134,6 +134,10 @@ class GridConfig(BaseModel, extra="forbid"):
     def _finalize(self):
         # seed stays None when unset: the host rim then draws a fresh map
         # every reset (reference behavior); a fixed seed reproduces exactly.
+        if self.map is None and self.map_name is not None:
+            from .maps import get_map
+
+            object.__setattr__(self, "map", get_map(self.map_name))
         if self.map is not None:
             grid, agents_xy, targets_xy = parse_map(self.map)
             object.__setattr__(self, "map", grid)

@@ -1,0 +1,116 @@
+"""Mesh/sharding/learner tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 implication (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pogema_tpu import GridConfig, PogemaCore
+from pogema_tpu.models import init_params, partition_params
+from pogema_tpu.parallel import (
+    PPOConfig,
+    init_train_state,
+    make_mesh,
+    make_rollout_fn,
+    make_train_step,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    cfg = GridConfig(seed=0, size=8, density=0.2, num_agents=2, obs_radius=2,
+                     max_episode_steps=8)
+    core = PogemaCore(cfg, num_envs=16)
+    model, params = init_params(jax.random.key(0), cfg.obs_radius * 2 + 1,
+                                hidden=32, channels=4)
+    return cfg, core, model, params
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_on_data_axis(small_setup):
+    _, core, _, _ = small_setup
+    mesh = make_mesh(data=8)
+    state, obs = core.reset(0)
+    sharded = shard_batch(state, mesh)
+    shard_info = sharded.agents_xy.sharding
+    assert shard_info.spec[0] == "data"
+    # stepping a sharded state works and keeps values identical
+    actions = jnp.zeros((16, 2), jnp.int32)
+    s1, r1, d1, m1 = core.step(state, actions)
+    s2, r2, d2, m2 = core.step(sharded, actions)
+    assert np.array_equal(np.asarray(s1.agents_xy), np.asarray(s2.agents_xy))
+    assert np.array_equal(np.asarray(r1.rewards), np.asarray(r2.rewards))
+
+
+def test_rollout_shapes(small_setup):
+    cfg, core, model, params = small_setup
+    rollout = make_rollout_fn(core, model.apply, num_steps=5)
+    state, obs = core.reset(1)
+    env_state, new_obs, key, traj = jax.jit(rollout)(
+        params, state, state, obs, jax.random.key(2)
+    )
+    assert traj.obs.shape == (5, 16, 2, 3, 5, 5)
+    assert traj.actions.shape == (5, 16, 2)
+    assert traj.rewards.dtype == jnp.float32
+    assert traj.env_dones.shape == (5, 16)
+    assert bool(jnp.all((traj.actions >= 0) & (traj.actions < 5)))
+
+
+def test_ppo_train_step_runs_and_learns_shapes(small_setup):
+    cfg, core, model, params = small_setup
+    ppo = PPOConfig(rollout_steps=4, epochs=1, minibatches=2)
+    ts, tx = init_train_state(core, model, params, ppo, jax.random.key(3))
+    train_step = jax.jit(make_train_step(core, model, ppo, tx))
+    ts2, stats = train_step(ts)
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["entropy"]))
+    # params actually changed
+    leaves1 = jax.tree.leaves(ts.params)
+    leaves2 = jax.tree.leaves(ts2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+    # second step composes
+    ts3, stats3 = train_step(ts2)
+    assert np.isfinite(float(stats3["loss"]))
+
+
+def test_train_step_sharded_over_mesh(small_setup):
+    cfg, core, model, params = small_setup
+    mesh = make_mesh(data=4, model=2)
+    ppo = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    with mesh:
+        p = partition_params(params, mesh)
+        # trunk kernel is sharded over 'model'
+        trunk = p["params"]["trunk"]["kernel"]
+        assert trunk.sharding.spec[-1] == "model"
+        ts, tx = init_train_state(core, model, p, ppo, jax.random.key(4))
+        ts = ts.replace(
+            env_state=shard_batch(ts.env_state, mesh),
+            initial_env_state=shard_batch(ts.initial_env_state, mesh),
+            obs=shard_batch(ts.obs, mesh),
+        )
+        train_step = jax.jit(make_train_step(core, model, ppo, tx))
+        ts2, stats = train_step(ts)
+        assert np.isfinite(float(stats["loss"]))
+
+
+def test_graft_entry_and_dryrun():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    logits, value = jax.jit(fn)(*args)
+    assert logits.shape[-1] == 5
+    mod.dryrun_multichip(8)
