@@ -13,6 +13,24 @@ from .grid_config import FREE, MOVES, NUM_ACTIONS, OBSTACLE, GridConfig
 
 __version__ = "0.1.0"
 
+
+def _register_gym_env():
+    # Mirror the reference's gymnasium registration ("Pogema-v0").
+    try:
+        import gymnasium
+
+        if "Pogema-v0" not in gymnasium.registry:
+            gymnasium.register(
+                id="Pogema-v0",
+                entry_point="pogema_tpu.envs:_make_pogema_gym_entry",
+                disable_env_checker=True,
+            )
+    except Exception:  # pragma: no cover - registration is best-effort
+        pass
+
+
+_register_gym_env()
+
 __all__ = [
     "GridConfig",
     "PogemaCore",

@@ -237,6 +237,13 @@ def _make_pogema(grid_config: GridConfig) -> Pogema:
     return Pogema(grid_config)
 
 
+def _make_pogema_gym_entry(grid_config: Optional[GridConfig] = None, **kwargs):
+    """gymnasium.make('Pogema-v0', grid_config=...) entry point."""
+    if grid_config is None:
+        grid_config = GridConfig(**kwargs)
+    return pogema_v0(grid_config)
+
+
 def pogema_v0(grid_config: Optional[GridConfig] = None, **kwargs):
     """Factory — the reference package's single entry point (upstream:
     pogema/envs.py pogema_v0): builds the env for ``grid_config.on_target``

@@ -1,0 +1,117 @@
+"""Evaluation harness — the in-core counterpart of the separate
+``pogema-toolbox`` package (SURVEY.md §1 "Ecosystem": YAML-driven eval,
+algo/map registries, result aggregation).
+
+Registers policies by name, runs them over grids of configs × seeds,
+and aggregates the standard MAPF metrics (ISR/CSR/ep_length/throughput).
+
+    from pogema_tpu.toolbox import evaluate
+    results = evaluate({"size": 16, "num_agents": 8}, algo="A*",
+                       seeds=[0, 1, 2])
+
+    # or YAML-driven:
+    #   python -m pogema_tpu.toolbox eval.yaml
+    # with eval.yaml:
+    #   algo: A*
+    #   seeds: [0, 1, 2]
+    #   environments:
+    #     random-16: {size: 16, density: 0.3, num_agents: 8}
+    #     warehouse: {map_name: warehouse-16x16, num_agents: 8}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Callable, Optional
+
+import numpy as np
+
+from .a_star_policy import BatchAStarAgent
+from .envs import pogema_v0
+from .grid_config import NUM_ACTIONS, GridConfig
+
+ALGO_REGISTRY: dict = {}
+
+
+def register_algo(name: str, factory: Callable) -> None:
+    """factory() -> policy with .act(observations) -> list[int] and
+    optionally .reset_states()."""
+    ALGO_REGISTRY[name] = factory
+
+
+class _RandomPolicy:
+    def __init__(self, seed=0):
+        self._rng = np.random.default_rng(seed)
+
+    def act(self, observations):
+        return self._rng.integers(NUM_ACTIONS, size=len(observations)).tolist()
+
+    def reset_states(self):
+        pass
+
+
+register_algo("A*", BatchAStarAgent)
+register_algo("random", _RandomPolicy)
+
+
+def run_episode(env, policy, max_steps: int = 10_000) -> dict:
+    obs, infos = env.reset()
+    if hasattr(policy, "reset_states"):
+        policy.reset_states()
+    for _ in range(max_steps):
+        obs, rew, term, trunc, infos = env.step(policy.act(obs))
+        if all(t or tr for t, tr in zip(term, trunc)):
+            return dict(infos[0].get("metrics", {}))
+    raise RuntimeError("episode never terminated")
+
+
+def evaluate(environments, algo: str = "A*", seeds=(0,),
+             algo_kwargs: Optional[dict] = None) -> dict:
+    """environments: GridConfig kwargs dict, or {name: kwargs} mapping.
+    Returns {env_name: {metric: mean over seeds}}."""
+    if isinstance(environments, dict) and not any(
+        isinstance(v, dict) for v in environments.values()
+    ):
+        environments = {"env": environments}
+    results = {}
+    for name, kwargs in environments.items():
+        per_seed = []
+        for seed in seeds:
+            cfg = GridConfig(**{**kwargs, "seed": int(seed)})
+            env = pogema_v0(cfg)
+            policy = ALGO_REGISTRY[algo](**(algo_kwargs or {}))
+            per_seed.append(run_episode(env, policy))
+        keys = sorted({k for m in per_seed for k in m})
+        results[name] = {
+            k: float(np.mean([m[k] for m in per_seed if k in m])) for k in keys
+        }
+        results[name]["episodes"] = len(per_seed)
+    return results
+
+
+def evaluate_from_yaml(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    return evaluate(
+        spec["environments"],
+        algo=spec.get("algo", "A*"),
+        seeds=spec.get("seeds", [0]),
+        algo_kwargs=spec.get("algo_kwargs"),
+    )
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    results = evaluate_from_yaml(argv[0])
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
