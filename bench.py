@@ -12,20 +12,22 @@ a single-process CPU Python loop, orders of magnitude below this bound).
 
 The whole rollout runs on-device (lax.scan, random actions drawn inside
 the scan); the only host transfer is the final scalar fetch.
+
+Robustness: the tunneled axon backend intermittently hangs on transfers
+(~1 in 4 processes), so by default this script re-executes itself as a
+worker subprocess under a timeout and retries up to 3 times, printing the
+worker's JSON line.
 """
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
-
-def main():
+def _parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--agents", type=int, default=64)
@@ -35,7 +37,50 @@ def main():
     ap.add_argument("--collision-system", default="priority")
     ap.add_argument("--on-target", default="finish")
     ap.add_argument("--maze", action="store_true", default=True)
-    args = ap.parse_args()
+    ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--attempt-timeout", type=int, default=420)
+    return ap.parse_args()
+
+
+def supervise(args):
+    cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
+           "--envs", str(args.envs), "--agents", str(args.agents),
+           "--size", str(args.size), "--steps", str(args.steps),
+           "--obs-radius", str(args.obs_radius),
+           "--collision-system", args.collision_system,
+           "--on-target", args.on_target]
+    last_err = ""
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=args.attempt_timeout,
+            )
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+            last_err = (out.stderr or "")[-2000:]
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: worker timed out (tunnel hang)"
+        print(f"# bench attempt {attempt} failed, retrying", file=sys.stderr)
+    print(json.dumps({
+        "metric": "env-steps/s (bench failed)", "value": 0,
+        "unit": "env-steps/s", "vs_baseline": 0.0, "error": last_err[-500:],
+    }))
+    return 1
+
+
+def main():
+    args = _parse_args()
+    if not args._worker:
+        sys.exit(supervise(args))
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from pogema_tpu import GridConfig, PogemaCore
 

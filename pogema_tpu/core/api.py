@@ -46,13 +46,18 @@ class PogemaCore:
         auto_reset_mode: str = "cached",
         maze: bool = False,
         map_bank: Optional[np.ndarray] = None,
+        obs_dtype=None,
     ):
+        """obs_dtype: cast float observation leaves (default f32 for
+        reference parity; pass jnp.bfloat16 to halve HBM traffic on the
+        learner path — the obs tensor dominates rollout cost)."""
         self.grid_config = grid_config
         self.cfg: StaticConfig = grid_config.to_static()
         self.num_envs = int(num_envs)
         if auto_reset_mode not in ("cached", "regen"):
             raise ValueError("auto_reset_mode must be 'cached' or 'regen'")
         self.auto_reset_mode = auto_reset_mode
+        self.obs_dtype = obs_dtype
 
         cfg = self.cfg
         fixed_map = None
@@ -83,17 +88,31 @@ class PogemaCore:
             )
 
         self._reset_env = reset_env
+        obs_dtype_ = obs_dtype
+
+        def cast_obs(obs):
+            if obs_dtype_ is None:
+                return obs
+            return jax.tree.map(
+                lambda x: x.astype(obs_dtype_)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                obs,
+            )
+
+        self._cast_obs = cast_obs
 
         @jax.jit
         def reset(key):
             keys = jax.random.split(key, self.num_envs)
             state = jax.vmap(reset_env)(keys)
-            obs = jax.vmap(partial(step_mod.observe_one, cfg))(state)
+            obs = cast_obs(jax.vmap(partial(step_mod.observe_one, cfg))(state))
             return state, obs
 
         @jax.jit
         def step(state, actions):
             new_state, res = jax.vmap(partial(step_mod.step_one, cfg))(state, actions)
+            res = res.replace(observations=cast_obs(res.observations))
             done = jax.vmap(partial(step_mod.episode_done, cfg))(new_state)
             metrics = jax.vmap(partial(metrics_mod.episode_metrics, cfg))(new_state)
             return new_state, res, done, metrics
@@ -149,7 +168,9 @@ class PogemaCore:
                 reset_state = jax.lax.cond(
                     jnp.any(done), regen, lambda ns: ns, new_state
                 )
-            obs = jax.vmap(partial(step_mod.observe_one, cfg))(reset_state)
+            obs = self._cast_obs(
+                jax.vmap(partial(step_mod.observe_one, cfg))(reset_state)
+            )
             return reset_state, obs, res, done, metrics
 
         return step_auto
