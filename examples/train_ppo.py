@@ -47,7 +47,11 @@ def main():
         obs_radius=args.obs_radius, max_episode_steps=128,
         on_target=args.on_target,
     )
-    core = PogemaCore(cfg, num_envs=args.envs)
+    import jax.numpy as jnp
+
+    # bf16 observations halve rollout HBM traffic; the model computes in
+    # bf16 anyway.
+    core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16)
     model, params = init_params(jax.random.key(0), cfg.obs_radius * 2 + 1)
     ppo = PPOConfig(lr=args.lr, rollout_steps=args.rollout_steps)
 
