@@ -47,7 +47,13 @@ __all__ = [
 def __getattr__(name):
     # Lazy imports for the compatibility rim so the JAX core stays
     # importable without gymnasium extras being touched at import time.
-    if name in ("pogema_v0", "Pogema", "PogemaLifeLong", "PogemaCoopFinish"):
+    if name in (
+        "pogema_v0",
+        "Pogema",
+        "PogemaLifeLong",
+        "PogemaCoopFinish",
+        "ActionsSampler",
+    ):
         from . import envs
 
         return getattr(envs, name)

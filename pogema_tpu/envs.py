@@ -251,6 +251,10 @@ def pogema_v0(grid_config: Optional[GridConfig] = None, **kwargs):
     if grid_config is None:
         grid_config = GridConfig(**kwargs)
     env = _make_pogema(grid_config)
+    if grid_config.persistent:
+        from .wrappers.persistence import PersistentWrapper
+
+        env = PersistentWrapper(env)
     integration = grid_config.integration
     if integration is None:
         return env

@@ -27,6 +27,31 @@ def list_maps() -> list:
     return sorted(_REGISTRY)
 
 
+def load_movingai(text: str):
+    """Parse a MovingAI ``.map`` file (the benchmark-map format used by
+    the pogema ecosystem's city/warehouse collections): header lines
+    (type/height/width/map), then rows where ``.``/``G``/``S`` are free
+    and ``@``/``O``/``T``/``W`` are obstacles. Returns list[list[int]]
+    suitable for ``GridConfig(map=...)`` or :func:`register_map`."""
+    lines = [ln.rstrip("\n") for ln in text.splitlines()]
+    try:
+        start = next(i for i, ln in enumerate(lines) if ln.strip() == "map") + 1
+    except StopIteration as e:
+        raise ValueError("not a MovingAI .map file (no 'map' header)") from e
+    free = {".", "G", "S"}
+    grid = []
+    for ln in lines[start:]:
+        if not ln.strip():
+            continue
+        grid.append([0 if ch in free else 1 for ch in ln.strip()])
+    if not grid:
+        raise ValueError("empty MovingAI map body")
+    width = max(len(r) for r in grid)
+    for r in grid:
+        r.extend([1] * (width - len(r)))
+    return grid
+
+
 # -- built-ins ----------------------------------------------------------
 
 register_map(

@@ -75,8 +75,20 @@ class PersistentWrapper(gymnasium.Wrapper):
 
     # -- access / serialization -----------------------------------------
 
-    def get_obstacles(self):
+    def get_obstacles(self, **kwargs):
         return self._obstacles
+
+    # gymnasium 1.x removed implicit attribute forwarding; keep the
+    # reference Grid accessors reachable through the wrapper.
+    def get_agents_xy(self, **kwargs):
+        return self.env.unwrapped.get_agents_xy(**kwargs)
+
+    def get_targets_xy(self, **kwargs):
+        return self.env.unwrapped.get_targets_xy(**kwargs)
+
+    @property
+    def active(self):
+        return self.env.unwrapped.active
 
     def get_history(self):
         return self._history

@@ -314,3 +314,19 @@ def test_animation_static_and_egocentric(tmp_path):
     ego = env.save_animation(str(tmp_path / "ego.svg"),
                              AnimationConfig(egocentric_idx=0))
     assert "opacity" in open(ego).read()
+
+
+def test_persistent_flag_in_config():
+    env = pogema_v0(small_cfg(persistent=True, max_episode_steps=3))
+    env.reset()
+    env.step([0, 0])
+    assert len(env.get_history()) == 2  # initial snapshot + 1 step
+    assert env.get_agents_xy()  # accessor forwarding through the wrapper
+
+
+def test_actions_sampler_export():
+    from pogema_tpu import ActionsSampler
+
+    s = ActionsSampler(seed=0)
+    acts = s.sample_actions(dim=5)
+    assert len(acts) == 5 and all(0 <= a < 5 for a in acts)

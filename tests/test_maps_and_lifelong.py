@@ -106,3 +106,29 @@ def test_lifelong_scoring_respawn_chain():
     assert goals >= 3
     assert int(state.goals_achieved[0, 0]) == goals
     assert float(mets["avg_throughput"][0]) == pytest.approx(goals / 40)
+
+
+def test_movingai_loader():
+    from pogema_tpu.maps import load_movingai
+
+    text = """type octile
+height 4
+width 5
+map
+..@..
+.@@.T
+.....
+T...@
+"""
+    grid = load_movingai(text)
+    assert grid == [
+        [0, 0, 1, 0, 0],
+        [0, 1, 1, 0, 1],
+        [0, 0, 0, 0, 0],
+        [1, 0, 0, 0, 1],
+    ]
+    cfg = GridConfig(seed=0, map=grid, num_agents=2, obs_radius=2,
+                     max_episode_steps=4)
+    env = pogema_v0(cfg)
+    env.reset()
+    assert env.get_obstacles().shape[0] >= 4
