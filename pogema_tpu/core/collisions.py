@@ -73,6 +73,18 @@ def _same_cell(a_xy, b_xy):
     return jnp.all(a_xy[:, None, :] == b_xy[None, :, :], axis=-1)
 
 
+def _pack_bits(x):
+    """bool[..., N] -> u32[..., ceil(N/32)] bitmask (bit j of word w =
+    x[..., 32w + j]). Summing distinct powers of two = bitwise OR."""
+    n = x.shape[-1]
+    pad = (-n) % 32
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xw = x.reshape(*x.shape[:-1], -1, 32)
+    powers = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(xw.astype(jnp.uint32) * powers, axis=-1, dtype=jnp.uint32)
+
+
 def resolve_priority(obstacles, agents_xy, active, actions):
     n = agents_xy.shape[0]
     desired, moving = propose(obstacles, agents_xy, active, actions)
@@ -86,18 +98,21 @@ def resolve_priority(obstacles, agents_xy, active, actions):
     blocked_static = jnp.any(tgt_on_cur & later, axis=1)
     m0 = moving & ~blocked_static
 
-    # Loop invariants hoisted out of the while body (XLA does not LICM
-    # large tensors out of while loops; recomputing these [N, N]
-    # compare+reduce products per iteration measured ~0.5 ms/iter at
-    # config-C scale).
-    tgt_on_tgt = _same_cell(desired, desired)  # [i, j]: t_i == t_j
+    # The [N, N] conflict matrices are loop invariants; additionally the
+    # j-axis is bit-packed into u32 words so each Jacobi pass touches
+    # N/32x less data (the iteration count is the follow-chain depth, so
+    # the per-pass cost dominates the fixpoint).
+    # f_j = t_j if m_j else c_j; "f_j == t_i" for j<i blocks i:
+    #   blocked_i = OR_j (E1[i,j] & m_j) | (E2[i,j] & ~m_j)
     earlier_active = earlier & active[None, :]
+    e1 = _pack_bits(_same_cell(desired, desired) & earlier_active)  # [N, W]
+    e2 = _pack_bits(tgt_on_cur & earlier_active)
 
     def body(carry):
         m, _ = carry
-        # f_j = t_j if m_j else c_j; "f_j == t_i" for j<i blocks i.
-        fin_on_tgt = jnp.where(m[None, :], tgt_on_tgt, tgt_on_cur)
-        blocked = jnp.any(fin_on_tgt & earlier_active, axis=1)
+        mp = _pack_bits(m)[None, :]  # [1, W]
+        acc = (e1 & mp) | (e2 & ~mp)
+        blocked = jnp.any(acc != 0, axis=-1)
         return m0 & ~blocked, m
 
     def cond(carry):
@@ -135,9 +150,13 @@ def resolve_soft(obstacles, agents_xy, active, actions):
     m0 = moving & ~vertex & ~swap
 
     # Chains: a mover into the current cell of a stayer becomes a stayer.
+    # Same bit-packed fixpoint trick as resolve_priority.
+    e2 = _pack_bits(tgt_on_cur)
+
     def body(carry):
         m, _ = carry
-        blocked = jnp.any(tgt_on_cur & ~m[None, :], axis=1)
+        mp = _pack_bits(m)[None, :]
+        blocked = jnp.any((e2 & ~mp) != 0, axis=-1)
         return m0 & ~blocked, m
 
     def cond(carry):
