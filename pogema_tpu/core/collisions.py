@@ -64,13 +64,18 @@ def propose(obstacles, agents_xy, active, actions):
     hits_obstacle = point_lookup(obstacles, proposed) > 0.5
     valid = active & ~hits_obstacle
     desired = jnp.where(valid[:, None], proposed, agents_xy)
-    moving = valid & jnp.any(desired != agents_xy, axis=-1)
-    return desired, moving
+    # Flat cell ids: all conflict predicates become single i32 compares
+    # instead of [.., 2] coordinate compares + reduce.
+    p = obstacles.shape[-1]
+    cur_cells = agents_xy[:, 0] * p + agents_xy[:, 1]
+    des_cells = jnp.where(valid, cur_cells + deltas[:, 0] * p + deltas[:, 1], cur_cells)
+    moving = valid & (des_cells != cur_cells)
+    return desired, des_cells, cur_cells, moving
 
 
-def _same_cell(a_xy, b_xy):
-    """bool[N, M]: a[n] and b[m] are the same cell."""
-    return jnp.all(a_xy[:, None, :] == b_xy[None, :, :], axis=-1)
+def _eq(a_cells, b_cells):
+    """bool[N, M]: flat cell a[n] == flat cell b[m]."""
+    return a_cells[:, None] == b_cells[None, :]
 
 
 def _pack_bits(x):
@@ -87,9 +92,9 @@ def _pack_bits(x):
 
 def resolve_priority(obstacles, agents_xy, active, actions):
     n = agents_xy.shape[0]
-    desired, moving = propose(obstacles, agents_xy, active, actions)
+    desired, des_cells, cur_cells, moving = propose(obstacles, agents_xy, active, actions)
 
-    tgt_on_cur = _same_cell(desired, agents_xy) & active[None, :]  # [i, j]: t_i == c_j
+    tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]  # [i, j]: t_i == c_j
     idx = jnp.arange(n)
     later = idx[None, :] > idx[:, None]  # [i, j]: j > i
     earlier = idx[None, :] < idx[:, None]
@@ -105,7 +110,7 @@ def resolve_priority(obstacles, agents_xy, active, actions):
     # f_j = t_j if m_j else c_j; "f_j == t_i" for j<i blocks i:
     #   blocked_i = OR_j (E1[i,j] & m_j) | (E2[i,j] & ~m_j)
     earlier_active = earlier & active[None, :]
-    e1 = _pack_bits(_same_cell(desired, desired) & earlier_active)  # [N, W]
+    e1 = _pack_bits(_eq(des_cells, des_cells) & earlier_active)  # [N, W]
     e2 = _pack_bits(tgt_on_cur & earlier_active)
 
     def body(carry):
@@ -124,28 +129,28 @@ def resolve_priority(obstacles, agents_xy, active, actions):
 
 
 def resolve_block_both(obstacles, agents_xy, active, actions):
-    desired, moving = propose(obstacles, agents_xy, active, actions)
+    desired, des_cells, cur_cells, moving = propose(obstacles, agents_xy, active, actions)
     n = agents_xy.shape[0]
     not_self = ~jnp.eye(n, dtype=bool)
     # (b) target is someone's current cell; (c) someone else targets it too.
-    tgt_on_cur = _same_cell(desired, agents_xy) & active[None, :]
-    tgt_clash = _same_cell(desired, desired) & active[None, :] & not_self
+    tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]
+    tgt_clash = _eq(des_cells, des_cells) & active[None, :] & not_self
     blocked = jnp.any(tgt_on_cur, axis=1) | jnp.any(tgt_clash & moving[None, :], axis=1)
     m = moving & ~blocked
     return jnp.where(m[:, None], desired, agents_xy)
 
 
 def resolve_soft(obstacles, agents_xy, active, actions):
-    desired, moving = propose(obstacles, agents_xy, active, actions)
+    desired, des_cells, cur_cells, moving = propose(obstacles, agents_xy, active, actions)
     n = agents_xy.shape[0]
     not_self = ~jnp.eye(n, dtype=bool)
     act = active[None, :]
     # Vertex conflicts among movers cancel everyone involved (computed once).
-    tgt_clash = _same_cell(desired, desired) & act & not_self
+    tgt_clash = _eq(des_cells, des_cells) & act & not_self
     vertex = jnp.any(tgt_clash & moving[None, :], axis=1)
     # Swaps: occupant j of my target is moving into my cell.
-    tgt_on_cur = _same_cell(desired, agents_xy) & act  # [i, j]: t_i == c_j
-    their_tgt_on_my_cur = _same_cell(agents_xy, desired)  # [i, j]: t_j == c_i
+    tgt_on_cur = _eq(des_cells, cur_cells) & act  # [i, j]: t_i == c_j
+    their_tgt_on_my_cur = _eq(cur_cells, des_cells)  # [i, j]: t_j == c_i
     swap = jnp.any(tgt_on_cur & their_tgt_on_my_cur & not_self, axis=1)
     m0 = moving & ~vertex & ~swap
 
