@@ -199,3 +199,27 @@ def test_batch_envs_differ():
     state, _ = env.reset(0)
     grids = np.asarray(state.obstacles)
     assert not all(np.array_equal(grids[0], grids[b]) for b in range(1, 8))
+
+
+def test_coop_finish_full_scenario():
+    """'nothing' mode: episode terminates exactly when every agent stands
+    on its goal simultaneously; CSR/ISR reflect the final configuration."""
+    cfg = GridConfig(
+        seed=0, size=4, obs_radius=2, num_agents=2, map="....\n....\n....\n....",
+        agents_xy=[[0, 0], [3, 3]], targets_xy=[[0, 2], [3, 1]],
+        max_episode_steps=10, on_target="nothing",
+    )
+    env = PogemaCore(cfg, num_envs=1)
+    state, obs = env.reset(0)
+    # agent 0 walks right twice; agent 1 walks left twice
+    for t in range(2):
+        state, res, done, mets = env.step(state, jnp.asarray([[RIGHT, LEFT]]))
+        if t == 0:
+            assert not bool(done[0])
+    assert bool(done[0])
+    assert bool(res.terminated[0].all())
+    assert float(mets["CSR"][0]) == 1.0
+    assert float(mets["ISR"][0]) == 1.0
+    assert float(mets["ep_length"][0]) == 2.0
+    # no rewards in 'nothing' mode
+    assert float(res.rewards.sum()) == 0.0
