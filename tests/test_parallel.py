@@ -114,3 +114,21 @@ def test_graft_entry_and_dryrun():
     logits, value = jax.jit(fn)(*args)
     assert logits.shape[-1] == 5
     mod.dryrun_multichip(8)
+
+
+def test_sharded_rollout_bit_exact(small_setup):
+    """Trajectories must not depend on the sharding layout (SURVEY.md §7
+    hard part #5: per-env keys make device placement irrelevant)."""
+    cfg, core, model, params = small_setup
+    mesh = make_mesh(data=8)
+    rollout = make_rollout_fn(core, model.apply, num_steps=6)
+    state, obs = core.reset(5)
+    _, _, _, traj_plain = jax.jit(rollout)(params, state, state, obs,
+                                           jax.random.key(7))
+    with mesh:
+        s_sh = shard_batch(state, mesh)
+        o_sh = shard_batch(obs, mesh)
+        _, _, _, traj_sh = jax.jit(rollout)(params, s_sh, s_sh, o_sh,
+                                            jax.random.key(7))
+    for a, b in zip(jax.tree.leaves(traj_plain), jax.tree.leaves(traj_sh)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
