@@ -223,9 +223,20 @@ class AnimationMonitor(gymnasium.Wrapper):
                 if not cfg.static:
                     xs = ";".join(str(cx(h[i].y)) for h in history)
                     ys = ";".join(str(cy(h[i].x)) for h in history)
-                    ops = ";".join(
-                        "1.0" if h[i].active else "0.0" for h in history
-                    )
+
+                    def agent_opacity(t):
+                        if not history[t][i].active:
+                            return "0.0"
+                        if ego is not None and i != ego:
+                            # grey out agents outside the ego agent's view
+                            s_ego = history[t][ego]
+                            s_me = history[t][i]
+                            if (abs(s_ego.x - s_me.x) > r
+                                    or abs(s_ego.y - s_me.y) > r):
+                                return "0.2"
+                        return "1.0"
+
+                    ops = ";".join(agent_opacity(t) for t in range(steps))
                     for attr, vals in (("cx", xs), ("cy", ys), ("opacity", ops)):
                         circle.animations.append(
                             Animation(attributeName=attr, values=vals,

@@ -59,6 +59,20 @@ class PogemaCore:
         self.auto_reset_mode = auto_reset_mode
         self.obs_dtype = obs_dtype
 
+        cfg_chk = self.cfg
+        if grid_config.map is None and grid_config.agents_xy is None:
+            # Host-side sanity: the on-device placement retries a bounded
+            # number of times; impossible configs should fail loudly here
+            # instead (the reference raises on unplaceable configs too).
+            expected_free = cfg_chk.size * cfg_chk.size * (1.0 - cfg_chk.density)
+            if expected_free < 2.0 * cfg_chk.num_agents:
+                raise ValueError(
+                    f"config cannot fit {cfg_chk.num_agents} agents+targets: "
+                    f"~{expected_free:.0f} free cells expected on a "
+                    f"{cfg_chk.size}x{cfg_chk.size} grid at density "
+                    f"{cfg_chk.density}"
+                )
+
         cfg = self.cfg
         fixed_map = None
         if grid_config.map is not None:

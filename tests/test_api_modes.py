@@ -120,3 +120,8 @@ def test_map_bank_core():
         assert np.array_equal(inner[b], bank[0]) or np.array_equal(inner[b], bank[1])
     # both bank entries appear across 8 envs with overwhelming probability
     assert len({inner[b].tobytes() for b in range(8)}) == 2
+
+
+def test_impossible_config_raises():
+    with pytest.raises(ValueError, match="cannot fit"):
+        PogemaCore(GridConfig(seed=0, size=4, density=0.9, num_agents=8), num_envs=1)
