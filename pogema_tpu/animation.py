@@ -249,6 +249,9 @@ class AnimationMonitor(gymnasium.Wrapper):
     def save_animation(self, name: str = "render.svg",
                        animation_config: AnimationConfig = None):
         drawing = self.create_animation(animation_config)
+        parent = os.path.dirname(name)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(name, "w") as f:
             f.write(drawing.render())
         return name

@@ -132,3 +132,20 @@ def test_sharded_rollout_bit_exact(small_setup):
                                             jax.random.key(7))
     for a, b in zip(jax.tree.leaves(traj_plain), jax.tree.leaves(traj_sh)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scaling_harness_smoke(small_setup):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling", "/root/repo/benchmarks/scaling.py"
+    )
+    scaling = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scaling)
+    _, core, _, _ = small_setup
+    rate = scaling.measure(core, 16, 2, steps=3)
+    assert rate > 0
+    mesh = make_mesh(data=8)
+    with mesh:
+        rate_sh = scaling.measure(core, 16, 2, steps=3, mesh=mesh)
+    assert rate_sh > 0
