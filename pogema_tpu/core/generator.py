@@ -288,7 +288,9 @@ def build_target_queue(key, table, components, target_cells, queue_len: int, p: 
     queue = queue.T  # [N, Q]
     # Degenerate single-cell components: stay on the initial target.
     queue = jnp.where(cnt[:, None] <= 1, target_cells[:, None], queue)
-    return cells_to_xy(queue, p).astype(jnp.int16)
+    # Packed flat cell ids (one i32 per entry — half the per-step roll
+    # traffic of (x, y) pairs).
+    return queue.astype(jnp.int32)
 
 
 def sample_new_target(key, table, components, agent_cell):

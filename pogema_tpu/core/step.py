@@ -108,11 +108,11 @@ def step_one(cfg: StaticConfig, state: EnvState, actions):
         rewards = on_goal.astype(jnp.float32)
         # Gather-free respawn: take the pre-sampled queue head and roll
         # the queue for agents that scored (see build_target_queue).
-        queue = state.target_queue  # i16[N, Q, 2]
-        new_targets = queue[:, 0, :].astype(jnp.int32)
+        queue = state.target_queue  # i32[N, Q] flat cell ids
+        new_targets = generator.cells_to_xy(queue[:, 0], p)
         targets_xy = jnp.where(on_goal[:, None], new_targets, targets_xy)
         rolled = jnp.roll(queue, -1, axis=1)
-        target_queue = jnp.where(on_goal[:, None, None], rolled, queue)
+        target_queue = jnp.where(on_goal[:, None], rolled, queue)
 
     step_count = state.step_count + 1
     truncated = jnp.broadcast_to(step_count >= cfg.max_episode_steps, (n,))

@@ -25,7 +25,7 @@ class EnvState:
     # i32[..., N, 2] padded coords of agents / their goals.
     agents_xy: jnp.ndarray
     targets_xy: jnp.ndarray
-    # LifeLong only (None otherwise): i16[..., N, Q, 2] pre-sampled queue
+    # LifeLong only (None otherwise): i32[..., N, Q] pre-sampled queue
     # of future goal cells per agent, all inside the agent's connected
     # component with consecutive entries distinct (so the head never
     # equals the just-reached goal the agent stands on). Respawn = take
