@@ -72,9 +72,15 @@ def main():
             ts, stats = train_step(ts)
             host = {k: float(v) for k, v in stats.items()}
             dt = time.perf_counter() - t0
+            metric = (
+                f"throughput {host.get('episode_avg_throughput', 0):.3f}"
+                if args.on_target == "restart"
+                else f"ISR {host.get('episode_ISR', 0):.3f}"
+            )
             print(
                 f"iter {it:4d}  reward/step {host['reward_per_step']:.4f}  "
-                f"loss {host['loss']:.4f}  entropy {host['entropy']:.3f}  "
+                f"{metric}  loss {host['loss']:.4f}  "
+                f"entropy {host['entropy']:.3f}  "
                 f"{steps_per_iter / dt:,.0f} env-steps/s",
                 flush=True,
             )

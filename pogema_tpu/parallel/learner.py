@@ -175,8 +175,14 @@ def make_train_step(core, model, config: PPOConfig, tx):
             "v_loss": vl,
             "entropy": ent,
             "reward_per_step": traj.rewards.mean(),
-            "episode_metric_ISR": traj.dones.mean(),
         }
+        # Episode metrics averaged over the episodes that ENDED during the
+        # rollout (the mask is traj.env_dones); NaN-free when none ended.
+        done_f = traj.env_dones.astype(jnp.float32)
+        denom = jnp.maximum(done_f.sum(), 1.0)
+        for k, v in traj.metrics.items():
+            out[f"episode_{k}"] = (v * done_f).sum() / denom
+        out["episodes_finished"] = done_f.sum()
         return new_ts, out
 
     return train_step

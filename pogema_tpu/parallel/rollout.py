@@ -21,6 +21,9 @@ class Transition:
     rewards: jnp.ndarray  # f32[T, B, N]
     dones: jnp.ndarray  # bool[T, B, N] (per-agent terminated|truncated)
     env_dones: jnp.ndarray  # bool[T, B]
+    # Episode metrics, valid only where env_dones (masked sums are taken
+    # downstream): dict of f32[T, B] (ISR/CSR/ep_length[/avg_throughput]).
+    metrics: dict
 
 
 def make_rollout_fn(core, apply_fn, num_steps: int):
@@ -38,7 +41,7 @@ def make_rollout_fn(core, apply_fn, num_steps: int):
             log_probs = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), actions[..., None], axis=-1
             )[..., 0]
-            new_state, new_obs, res, env_done, _ = step_auto(
+            new_state, new_obs, res, env_done, metrics = step_auto(
                 env_state, initial_state, actions
             )
             tr = Transition(
@@ -49,6 +52,7 @@ def make_rollout_fn(core, apply_fn, num_steps: int):
                 rewards=res.rewards,
                 dones=res.terminated | res.truncated,
                 env_dones=env_done,
+                metrics=metrics,
             )
             return (new_state, new_obs, key), tr
 
