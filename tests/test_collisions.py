@@ -166,3 +166,84 @@ def test_random_differential_vs_oracle(system, seed):
         # invariant: nobody stands on an obstacle
         for x, y in oracle_xy:
             assert grid[x, y] == 0
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_long_train_chain(system):
+    """64-agent train: the worst case for the Jacobi fixpoint (follow
+    chain of maximal depth). Must match the sequential oracle exactly."""
+    n = 64
+    cfg = make_cfg(n, system, size=70)
+    grid = empty_grid(cfg)
+    r = cfg.obs_radius
+    # leader at the right end with the LOWEST index (so in priority order
+    # the whole train moves); followers behind
+    xy = [[r + 1, r + n - i] for i in range(1, n + 1)]
+    actions = [RIGHT] * n
+    got = resolve(cfg, grid, xy, [True] * n, actions)
+    oracle = OracleEnv(cfg, grid, xy, xy)
+    want = {
+        "priority": oracle._move_priority,
+        "block_both": oracle._move_block_both,
+        "soft": oracle._move_soft,
+    }[system](actions)
+    assert got == [list(t) for t in want]
+    # leader starts at col r+n-1, tail at col r
+    if system in ("priority", "soft"):
+        # whole train advances
+        assert got[0][1] == r + n
+        assert got[-1][1] == r + 1
+    else:  # block_both: only the unobstructed leader moves
+        assert got[0][1] == r + n
+        assert got[1][1] == r + n - 2
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_reversed_train_blocked(system):
+    """Same train but the leader has the HIGHEST index: in priority
+    order every follower moves before the cell ahead is vacated, so only
+    the leader advances."""
+    n = 8
+    cfg = make_cfg(n, system, size=16)
+    grid = empty_grid(cfg)
+    r = cfg.obs_radius
+    xy = [[r + 1, r + i] for i in range(1, n + 1)]  # agent n-1 leads
+    actions = [RIGHT] * n
+    got = resolve(cfg, grid, xy, [True] * n, actions)
+    oracle = OracleEnv(cfg, grid, xy, xy)
+    want = {
+        "priority": oracle._move_priority,
+        "block_both": oracle._move_block_both,
+        "soft": oracle._move_soft,
+    }[system](actions)
+    assert got == [list(t) for t in want]
+    assert got[-1][1] == r + n + 1  # leader always advances
+    if system == "priority":
+        assert got[0][1] == r + 1  # tail blocked (cells vacate after its turn)
+    if system == "soft":
+        assert got[0][1] == r + 2  # chains through vacated cells allowed
+
+
+@pytest.mark.parametrize("system", ["priority", "block_both", "soft"])
+def test_rotating_cycle(system):
+    """Four agents in a 2x2 ring all rotating clockwise: soft allows the
+    rotation, priority and block_both must block it (each target is an
+    occupied cell whose occupant moves 'later')."""
+    cfg = make_cfg(4, system)
+    grid = empty_grid(cfg)
+    r = cfg.obs_radius
+    a, b = r + 2, r + 3
+    xy = [[a, a], [a, b], [b, b], [b, a]]
+    actions = [RIGHT, DOWN, LEFT, UP]
+    got = resolve(cfg, grid, xy, [True] * 4, actions)
+    oracle = OracleEnv(cfg, grid, xy, xy)
+    want = {
+        "priority": oracle._move_priority,
+        "block_both": oracle._move_block_both,
+        "soft": oracle._move_soft,
+    }[system](actions)
+    assert got == [list(t) for t in want]
+    if system == "soft":
+        assert got == [[a, b], [b, b], [b, a], [a, a]]  # rotated
+    else:
+        assert got == xy  # frozen
