@@ -36,7 +36,8 @@ def _parse_args():
     ap.add_argument("--obs-radius", type=int, default=5)
     ap.add_argument("--collision-system", default="priority")
     ap.add_argument("--on-target", default="finish")
-    ap.add_argument("--maze", action="store_true", default=True)
+    ap.add_argument("--maze", action=argparse.BooleanOptionalAction, default=True,
+                    help="maze maps (default); --no-maze for Bernoulli random")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--attempt-timeout", type=int, default=420)
     return ap.parse_args()
@@ -48,7 +49,8 @@ def supervise(args):
            "--size", str(args.size), "--steps", str(args.steps),
            "--obs-radius", str(args.obs_radius),
            "--collision-system", args.collision_system,
-           "--on-target", args.on_target]
+           "--on-target", args.on_target,
+           "--maze" if args.maze else "--no-maze"]
     last_err = ""
     for attempt in range(3):
         try:
@@ -139,7 +141,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"env-steps/s ({args.agents} agents, {args.size}x{args.size} maze, {args.envs} vec envs, r={args.obs_radius})",
+                "metric": f"env-steps/s ({args.agents} agents, {args.size}x{args.size} {'maze' if args.maze else 'random'}, {args.envs} vec envs, r={args.obs_radius})",
                 "value": round(value),
                 "unit": "env-steps/s",
                 "vs_baseline": round(value / 1e6, 3),

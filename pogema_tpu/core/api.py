@@ -12,8 +12,12 @@ in two flavors:
 
 * ``'cached'`` (default): finished envs are restored to their cached
   reset-time state — zero extra compute per step (the standard JAX vec-env
-  idiom, cf. Brax/gymnax). Maps/placements repeat per env across episodes;
-  per-episode RNG (LifeLong respawns) still differs.
+  idiom, cf. Brax/gymnax). Maps/placements repeat per env across episodes,
+  and so does the LifeLong respawn queue (it is pre-sampled at reset and
+  restored verbatim, so every cached-mode episode replays the identical
+  goal sequence). For LifeLong training prefer ``'regen'`` — episodes end
+  synchronously at the time limit there, so the regeneration cost is paid
+  exactly once per episode, and maps/placements/respawns all differ.
 * ``'regen'``: finished envs get a freshly generated map+placement. The
   regeneration runs under a batch-level ``lax.cond`` so it costs nothing
   on steps where no env finished (ideal when episodes end synchronously at
@@ -61,16 +65,21 @@ class PogemaCore:
 
         cfg_chk = self.cfg
         if grid_config.map is None and grid_config.agents_xy is None:
-            # Host-side sanity: the on-device placement retries a bounded
-            # number of times; impossible configs should fail loudly here
-            # instead (the reference raises on unplaceable configs too).
+            # Soft host-side heuristic only: the hard failure signal is the
+            # on-device placement_ok flag checked after reset (expected
+            # free-cell counts both falsely reject tight-but-feasible
+            # configs and pass configs whose actual draws fail).
             expected_free = cfg_chk.size * cfg_chk.size * (1.0 - cfg_chk.density)
             if expected_free < 2.0 * cfg_chk.num_agents:
-                raise ValueError(
-                    f"config cannot fit {cfg_chk.num_agents} agents+targets: "
-                    f"~{expected_free:.0f} free cells expected on a "
-                    f"{cfg_chk.size}x{cfg_chk.size} grid at density "
-                    f"{cfg_chk.density}"
+                import warnings
+
+                warnings.warn(
+                    f"config is unlikely to fit {cfg_chk.num_agents} "
+                    f"agents+targets: ~{expected_free:.0f} free cells "
+                    f"expected on a {cfg_chk.size}x{cfg_chk.size} grid at "
+                    f"density {cfg_chk.density}; reset() will raise if "
+                    f"placement actually fails",
+                    stacklevel=2,
                 )
 
         cfg = self.cfg
@@ -94,6 +103,25 @@ class PogemaCore:
             if grid_config.targets_xy is not None
             else None
         )
+        if fixed_map is not None and fixed_agents is not None:
+            # Explicit placements on an explicit map: validate on the host
+            # instead of silently carving cells free (the reference raises
+            # on agents/targets placed on obstacles).
+            for label, pts in (("agents_xy", fixed_agents),
+                               ("targets_xy", fixed_targets)):
+                if pts is None:
+                    continue
+                if (pts < 0).any() or (pts >= cfg.size).any():
+                    raise ValueError(f"{label} out of bounds for a "
+                                     f"{cfg.size}x{cfg.size} map: {pts.tolist()}")
+                on_obst = fixed_map[pts[:, 0], pts[:, 1]] != 0
+                if on_obst.any():
+                    bad = pts[on_obst].tolist()
+                    raise ValueError(f"{label} placed on obstacle cells: {bad}")
+            for label, pts in (("agents_xy", fixed_agents),
+                               ("targets_xy", fixed_targets)):
+                if pts is not None and len({tuple(p) for p in pts.tolist()}) < len(pts):
+                    raise ValueError(f"duplicate cells in {label}: {pts.tolist()}")
         bank = np.asarray(map_bank, np.uint8) if map_bank is not None else None
 
         def reset_env(key):
@@ -138,10 +166,24 @@ class PogemaCore:
     # -- plain (no auto-reset) ------------------------------------------
 
     def reset(self, key):
-        """(state, observations) for B envs. key: single PRNG key."""
+        """(state, observations) for B envs. key: single PRNG key.
+
+        Raises ValueError if on-device placement failed for any env (the
+        bounded retry exhausted — unplaceable config); the reference raises
+        on unplaceable configs too."""
         if isinstance(key, int):
             key = jax.random.key(key)
-        return self._reset(key)
+        state, obs = self._reset(key)
+        if not bool(jnp.all(state.placement_ok)):
+            n_bad = int(jnp.sum(~state.placement_ok))
+            raise ValueError(
+                f"agent/target placement failed for {n_bad}/{self.num_envs} "
+                f"env(s) after bounded retries: the map cannot fit "
+                f"{self.cfg.num_agents} agents with mutually-reachable "
+                f"targets (need >=2 free cells per agent in shared "
+                f"components)"
+            )
+        return state, obs
 
     def step(self, state, actions):
         """No auto-reset: finished envs keep returning their final state.

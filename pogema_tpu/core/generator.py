@@ -286,6 +286,18 @@ def build_target_queue(key, table, components, target_cells, queue_len: int, p: 
         body, target_cells, (cells1.T, cells2.T)
     )  # [Q, N]
     queue = queue.T  # [N, Q]
+    if queue_len >= 2:
+        # Constrain the wrap seam: when an agent exhausts the queue it
+        # rolls back to q_0, so q_{Q-1} must differ from q_0 too —
+        # otherwise a wrapping agent could score every step standing
+        # still. Use the unused alternative draw of the last slot when it
+        # satisfies both neighbor constraints (rare double collision is
+        # accepted, probability O(1/|component|^2)).
+        q0, prev, last = queue[:, 0], queue[:, -2], queue[:, -1]
+        alt1, alt2 = cells1[:, -1], cells2[:, -1]
+        fix = jnp.where((alt2 != prev) & (alt2 != q0), alt2,
+                        jnp.where((alt1 != prev) & (alt1 != q0), alt1, last))
+        queue = queue.at[:, -1].set(jnp.where(last == q0, fix, last))
     # Degenerate single-cell components: stay on the initial target.
     queue = jnp.where(cnt[:, None] <= 1, target_cells[:, None], queue)
     # Packed flat cell ids (one i32 per entry — half the per-step roll
@@ -334,9 +346,14 @@ def generate_env(
     map_bank=None,
 ):
     """One env instance: (padded obstacles u8[P,P], agents_xy i32[N,2],
-    targets_xy i32[N,2], components i32[P*P]). Retries the whole draw on
-    degenerate maps (not enough mutually-reachable free cells), like the
-    reference's host-side retry loop, but bounded and on-device.
+    targets_xy i32[N,2], components i32[P*P], ok bool). Retries the whole
+    draw on degenerate maps (not enough mutually-reachable free cells),
+    like the reference's host-side retry loop, but bounded and on-device.
+
+    ``ok`` is False when every retry failed placement (e.g. a map with
+    fewer mutually-reachable free cells than 2*num_agents); callers on the
+    host (PogemaCore.reset / the rim) MUST check it and raise — the
+    reference raises on unplaceable configs too.
     """
     p = cfg.padded_size
     r = cfg.obs_radius
@@ -347,13 +364,15 @@ def generate_env(
         k_map, k_place = jax.random.split(k)
         grid = _make_map(cfg, k_map, fixed_map, map_bank, maze)
         if fixed_placement:
-            # Explicit agents_xy/targets_xy: carve those cells free so a
-            # random map can never bury them (host rim validates overlap
-            # with explicit maps separately).
+            # Explicit agents_xy/targets_xy on a RANDOM map: carve those
+            # cells free so the draw can never bury them. (With an explicit
+            # map the host rim validates overlap before tracing — see
+            # PogemaCore.__init__ — and no carving happens here.)
             agents = jnp.asarray(fixed_agents_xy, jnp.int32) + r
             targets = jnp.asarray(fixed_targets_xy, jnp.int32) + r
-            for xy in (agents, targets):
-                grid = grid.at[xy[:, 0], xy[:, 1]].set(0)
+            if fixed_map is None:
+                for xy in (agents, targets):
+                    grid = grid.at[xy[:, 0], xy[:, 1]].set(0)
             comps = connected_components(grid)
             return grid, agents, targets, comps, jnp.bool_(True)
         comps = connected_components(grid)
@@ -361,8 +380,8 @@ def generate_env(
         return grid, cells_to_xy(a_cells, p), cells_to_xy(t_cells, p), comps, ok
 
     if fixed_placement and fixed_map is not None:
-        grid, agents, targets, comps, _ = attempt(key)
-        return grid, agents, targets, comps
+        grid, agents, targets, comps, ok = attempt(key)
+        return grid, agents, targets, comps, ok
 
     # Single copy of the generation graph: the first attempt happens inside
     # the while_loop too (init carry is a dummy with ok=False), which keeps
@@ -384,7 +403,7 @@ def generate_env(
         jnp.zeros((n, 2), jnp.int32),
         jnp.zeros(p * p, jnp.int32),
     )
-    _, _, _, (grid, agents, targets, comps) = lax.while_loop(
+    _, ok, _, (grid, agents, targets, comps) = lax.while_loop(
         cond, body, (key, jnp.bool_(False), jnp.int32(0), dummy)
     )
-    return grid, agents, targets, comps
+    return grid, agents, targets, comps, ok

@@ -29,9 +29,12 @@ from .types import EnvState, StepResult
 
 
 def _queue_len(cfg: StaticConfig) -> int:
-    # An agent can score at most once per step; cap the pre-sampled goal
-    # queue at 64 (it wraps cyclically if exhausted — only reachable in
-    # degenerate tiny-component episodes).
+    # An agent can score at most once per step, so max_episode_steps
+    # entries are exhaustive; the cap bounds queue memory for long
+    # episodes. When max_episode_steps > the cap, an agent scoring more
+    # than queue_len goals wraps the queue cyclically — the wrap seam is
+    # constrained at build time (q_0 != q_{Q-1}, see build_target_queue)
+    # so a wrapping agent can never score while standing still.
     return min(cfg.max_episode_steps, 64)
 
 
@@ -46,7 +49,7 @@ def reset_one(
 ) -> EnvState:
     """Fresh EnvState for one env. jit/vmap-compatible."""
     key, gen_key, queue_key = jax.random.split(key, 3)
-    grid, agents_xy, targets_xy, comps = generator.generate_env(
+    grid, agents_xy, targets_xy, comps, placement_ok = generator.generate_env(
         cfg, gen_key, fixed_map, fixed_agents_xy, fixed_targets_xy, maze, map_bank
     )
     n = cfg.num_agents
@@ -69,6 +72,7 @@ def reset_one(
         goals_achieved=jnp.zeros(n, jnp.int32),
         step_count=jnp.int32(0),
         key=key,
+        placement_ok=placement_ok,
     )
 
 

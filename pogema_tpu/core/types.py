@@ -44,6 +44,10 @@ class EnvState:
     step_count: jnp.ndarray
     # PRNG key per env (consumed by LifeLong respawn and auto-reset).
     key: jnp.ndarray
+    # bool[...]: False when on-device placement failed every bounded retry
+    # (unplaceable config). Host callers (PogemaCore.reset, the rim) check
+    # this and raise loudly — the reference raises on unplaceable configs.
+    placement_ok: jnp.ndarray = True
 
     @property
     def batch_shape(self):

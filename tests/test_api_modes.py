@@ -123,5 +123,51 @@ def test_map_bank_core():
 
 
 def test_impossible_config_raises():
-    with pytest.raises(ValueError, match="cannot fit"):
-        PogemaCore(GridConfig(seed=0, size=4, density=0.9, num_agents=8), num_envs=1)
+    # Construction warns (soft heuristic), reset raises (hard on-device
+    # placement_ok signal) — ADVICE r1: expected-free-cell pre-checks both
+    # falsely reject tight-but-feasible configs and pass failing draws.
+    with pytest.warns(UserWarning, match="unlikely to fit"):
+        core = PogemaCore(
+            GridConfig(seed=0, size=4, density=0.9, num_agents=8), num_envs=1
+        )
+    with pytest.raises(ValueError, match="placement failed"):
+        core.reset(0)
+
+
+def test_unplaceable_fixed_map_raises_at_reset():
+    # ADVICE r1 finding 1: a fixed map with fewer mutually-reachable free
+    # cells than agents+targets must fail loudly, not silently return
+    # agents on obstacles.
+    core = PogemaCore(
+        GridConfig(seed=0, map="#.#\n###\n#.#", num_agents=3), num_envs=1
+    )
+    with pytest.raises(ValueError, match="placement failed"):
+        core.reset(0)
+
+
+def test_explicit_placement_on_obstacle_raises():
+    with pytest.raises(ValueError, match="obstacle"):
+        PogemaCore(
+            GridConfig(seed=0, map=".#.\n...\n...", num_agents=1,
+                       agents_xy=[[0, 1]], targets_xy=[[2, 2]]),
+            num_envs=1,
+        )
+
+
+def test_explicit_placement_out_of_bounds_raises():
+    with pytest.raises(ValueError, match="out of bounds"):
+        PogemaCore(
+            GridConfig(seed=0, map="...\n...\n...", num_agents=1,
+                       agents_xy=[[0, 100]], targets_xy=[[2, 2]]),
+            num_envs=1,
+        )
+
+
+def test_explicit_duplicate_agents_raise():
+    with pytest.raises(ValueError, match="duplicate"):
+        PogemaCore(
+            GridConfig(seed=0, map="...\n...\n...", num_agents=2,
+                       agents_xy=[[0, 0], [0, 0]],
+                       targets_xy=[[2, 2], [1, 1]]),
+            num_envs=1,
+        )

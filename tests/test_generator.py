@@ -74,7 +74,7 @@ def test_placement_valid(collision_system):
     ).to_static()
     p = cfg.padded_size
     for seed in range(4):
-        grid, agents, targets, comps = jax.jit(
+        grid, agents, targets, comps, ok = jax.jit(
             generator.generate_env, static_argnums=(0, 5)
         )(cfg, jax.random.key(seed))
         grid = np.asarray(grid)
@@ -99,7 +99,7 @@ def test_fixed_map_and_positions():
                            agents_xy=[[0, 0]], targets_xy=[[2, 2]])
     cfg = cfg_model.to_static()
     fixed_map = jnp.asarray(np.array(cfg_model.map, np.uint8))
-    grid, agents, targets, _ = generator.generate_env(
+    grid, agents, targets, _, ok = generator.generate_env(
         cfg, jax.random.key(0), fixed_map,
         jnp.asarray(cfg_model.agents_xy), jnp.asarray(cfg_model.targets_xy),
     )
@@ -141,7 +141,7 @@ def test_map_bank_selection():
     bank = np.zeros((3, 6, 6), np.uint8)
     bank[1, :, :] = 0
     bank[2, 2, :] = 1  # wall row
-    grid, agents, targets, _ = generator.generate_env(
+    grid, agents, targets, _, _ok = generator.generate_env(
         cfg, jax.random.key(4), None, None, None, False, jnp.asarray(bank)
     )
     assert np.asarray(grid).shape == (cfg.padded_size, cfg.padded_size)
