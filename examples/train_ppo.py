@@ -1,9 +1,13 @@
 """End-to-end PPO training on the vectorized TPU env.
 
-Trains the convolutional actor-critic with the sharded PPO learner
-(pogema_tpu.parallel) on a MAPF task; logs reward/loss and episode
-metrics. Runs on 1 chip or a pod slice (env batch shards over the mesh
-'data' axis).
+Default path is the FUSED learner: the policy reads EnvState through a
+first layer that contracts window one-hots directly against the
+embedding weights, so the observation tensor never exists anywhere in
+training (models/embed_actor_critic.py; VERDICT r1 item 1). Pass
+``--model conv`` for the conventional obs-based conv actor-critic path.
+
+Runs on 1 chip or a pod slice (env batch shards over the mesh 'data'
+axis).
 
   python examples/train_ppo.py --envs 1024 --agents 8 --size 16 --iters 50
 """
@@ -27,16 +31,32 @@ def main():
     ap.add_argument("--obs-radius", type=int, default=5)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--rollout-steps", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--on-target", default="restart")
+    ap.add_argument("--model", choices=["fused", "conv"], default="fused")
+    ap.add_argument("--embed", type=int, default=256)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--window-group", type=int, default=1)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--log", default=None,
+                    help="CSV file for per-iteration training stats")
+    ap.add_argument("--log-every", type=int, default=1,
+                    help="fetch/print stats every k iters (device->host "
+                         "fetches through the tunnel cost ~20 ms each; "
+                         "raise this when benchmarking)")
     args = ap.parse_args()
 
     from pogema_tpu import GridConfig, PogemaCore
-    from pogema_tpu.models import init_params, partition_params
+    from pogema_tpu.models import (
+        init_embed_params, init_params, partition_params,
+    )
     from pogema_tpu.parallel import (
         PPOConfig,
+        init_fused_train_state,
         init_train_state,
+        make_fused_train_step,
         make_mesh,
         make_train_step,
         shard_batch,
@@ -49,29 +69,65 @@ def main():
     )
     import jax.numpy as jnp
 
-    # bf16 observations halve rollout HBM traffic; the model computes in
-    # bf16 anyway.
-    core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16)
-    model, params = init_params(jax.random.key(0), cfg.obs_radius * 2 + 1)
-    ppo = PPOConfig(lr=args.lr, rollout_steps=args.rollout_steps)
+    # LifeLong: 'regen' resampling gives fresh maps/placements/respawn
+    # queues each episode (episodes end synchronously at the time limit,
+    # so regeneration runs exactly once per episode); cached mode would
+    # replay the identical respawn sequence every episode.
+    fused_ok = args.on_target == "restart" and 128 % args.rollout_steps == 0
+    auto_reset = "regen" if fused_ok else "cached"
+    window = cfg.obs_radius * 2 + 1
+
+    if args.model == "fused":
+        core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset)
+        model, params = init_embed_params(
+            jax.random.key(0), window, embed=args.embed, hidden=args.hidden,
+            window_group=args.window_group,
+        )
+    else:
+        # bf16 observations halve rollout HBM traffic; the model computes
+        # in bf16 anyway.
+        core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16)
+        model, params = init_params(jax.random.key(0), window)
+    ppo = PPOConfig(lr=args.lr, rollout_steps=args.rollout_steps,
+                    epochs=args.epochs, minibatches=args.minibatches)
+
+    log_file = open(args.log, "w") if args.log else None
 
     mesh = make_mesh()
     with mesh:
         params = partition_params(params, mesh)
-        ts, tx = init_train_state(core, model, params, ppo, jax.random.key(1))
+        if args.model == "fused":
+            ts, tx = init_fused_train_state(core, model, params, ppo,
+                                            jax.random.key(1))
+            train_step = jax.jit(make_fused_train_step(core, model, ppo, tx))
+        else:
+            ts, tx = init_train_state(core, model, params, ppo,
+                                      jax.random.key(1))
+            ts = ts.replace(obs=shard_batch(ts.obs, mesh))
+            train_step = jax.jit(make_train_step(core, model, ppo, tx))
         ts = ts.replace(
             env_state=shard_batch(ts.env_state, mesh),
             initial_env_state=shard_batch(ts.initial_env_state, mesh),
-            obs=shard_batch(ts.obs, mesh),
         )
-        train_step = jax.jit(make_train_step(core, model, ppo, tx))
+
+        import numpy as np
 
         steps_per_iter = args.envs * args.rollout_steps
+        t0 = time.perf_counter()
+        it_last = 0
         for it in range(args.iters):
-            t0 = time.perf_counter()
             ts, stats = train_step(ts)
-            host = {k: float(v) for k, v in stats.items()}
+            if (it + 1) % args.log_every and it + 1 < args.iters:
+                continue
+            # ONE stacked device->host fetch (leaf-by-leaf float() pays
+            # ~20 ms of tunnel latency per scalar).
+            keys = sorted(stats)
+            vals = np.asarray(jnp.stack([stats[k] for k in keys]))
+            host = dict(zip(keys, map(float, vals)))
             dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sps = steps_per_iter * (it + 1 - it_last) / dt
+            it_last = it + 1
             metric = (
                 f"throughput {host.get('episode_avg_throughput', 0):.3f}"
                 if args.on_target == "restart"
@@ -81,9 +137,18 @@ def main():
                 f"iter {it:4d}  reward/step {host['reward_per_step']:.4f}  "
                 f"{metric}  loss {host['loss']:.4f}  "
                 f"entropy {host['entropy']:.3f}  "
-                f"{steps_per_iter / dt:,.0f} env-steps/s",
+                f"{sps:,.0f} env-steps/s",
                 flush=True,
             )
+            if log_file:
+                if it == 0:
+                    print("iter,env_steps_per_s,"
+                          + ",".join(sorted(host)), file=log_file)
+                print(f"{it},{sps:.1f},"
+                      + ",".join(f"{host[k]:.6g}" for k in sorted(host)),
+                      file=log_file, flush=True)
+        if log_file:
+            log_file.close()
         if args.checkpoint:
             from pogema_tpu.utils.checkpoint import save_checkpoint
 

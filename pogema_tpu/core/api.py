@@ -192,7 +192,11 @@ class PogemaCore:
 
     # -- auto-reset ------------------------------------------------------
 
-    def _make_step_auto(self):
+    def _make_step_auto(self, with_obs: bool = True):
+        """with_obs=False skips observation assembly entirely (returns
+        None in the obs slot) — the state-based learner path reads the
+        grid through the policy's fused first layer instead, so building
+        the obs tensor would be pure dead weight."""
         cfg = self.cfg
         reset_env = self._reset_env
         mode = self.auto_reset_mode
@@ -224,6 +228,8 @@ class PogemaCore:
                 reset_state = jax.lax.cond(
                     jnp.any(done), regen, lambda ns: ns, new_state
                 )
+            if not with_obs:
+                return reset_state, None, res.replace(observations=None), done, metrics
             obs = self._cast_obs(
                 jax.vmap(partial(step_mod.observe_one, cfg))(reset_state)
             )

@@ -1,3 +1,10 @@
 from .actor_critic import ActorCritic, init_params, partition_params
+from .embed_actor_critic import EmbedActorCritic, init_embed_params
 
-__all__ = ["ActorCritic", "init_params", "partition_params"]
+__all__ = [
+    "ActorCritic",
+    "init_params",
+    "partition_params",
+    "EmbedActorCritic",
+    "init_embed_params",
+]

@@ -99,6 +99,77 @@ def neighborhoods3x3(grid, xy):
     return extract_windows(grid, xy, 3)
 
 
+def batched_extract_windows(grids, xy, w: int, dtype=jnp.bfloat16,
+                            group: int = 1):
+    """Egocentric windows with an explicit leading batch axis.
+
+    grids: [B, P, P] (each sample has its own grid — B is envs during a
+    rollout or shuffled env-step samples during a PPO update), xy:
+    i32[B, N, 2]. Returns dtype[B, N, w, w]. Same one-hot-einsum design as
+    :func:`extract_windows`; ``group`` groups the stage-2 column selects
+    of ``group`` agents of the SAME sample into one fatter matmul (the
+    diagonal [w, w] blocks are the windows) — re-measured round 2, see
+    docs/DESIGN.md "Negative results" before changing the default.
+    """
+    b, n = xy.shape[0], xy.shape[1]
+    p = grids.shape[-1]
+    r = w // 2
+    g = grids.astype(jnp.bfloat16)
+    gsz = max(1, min(group, n))
+    n_pad = (-n) % gsz
+    if n_pad:
+        xy = jnp.concatenate(
+            [xy, jnp.full((b, n_pad, 2), r, xy.dtype)], axis=1
+        )
+    ng = (n + n_pad) // gsz
+
+    offs = jnp.arange(w, dtype=jnp.int32) - r
+    oh_r = _onehot(xy[..., 0:1] + offs, p)  # [B, N', w, P]
+    oh_c = _onehot(xy[..., 1:2] + offs, p)
+    t1 = jnp.einsum(
+        "bnip,bpq->bniq", oh_r, g, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    if gsz == 1:
+        out = jnp.einsum(
+            "bniq,bnjq->bnij", t1, oh_c, preferred_element_type=jnp.float32
+        )
+    else:
+        t1g = t1.reshape(b, ng, gsz * w, p)
+        ohcg = oh_c.reshape(b, ng, gsz * w, p)
+        big = jnp.einsum(
+            "bgip,bgjp->bgij", t1g, ohcg, preferred_element_type=jnp.float32
+        )
+        blocks = big.reshape(b, ng, gsz, w, gsz, w)
+        diag = jnp.diagonal(blocks, axis1=2, axis2=4)  # [B, ng, w, w, gsz]
+        out = jnp.moveaxis(diag, -1, 2).reshape(b, -1, w, w)
+    return out[:, :n].astype(dtype)
+
+
+def batched_pairwise_agent_windows(xy, active, w: int, dtype=jnp.bfloat16):
+    """[B, N, 2] + [B, N] -> dtype[B, N, w, w] agents-occupancy channels
+    (batched :func:`pairwise_agent_windows`: self included, inactive
+    agents invisible)."""
+    r = w // 2
+    dx = xy[:, None, :, 0] - xy[:, :, None, 0] + r  # [B, N, M]
+    dy = xy[:, None, :, 1] - xy[:, :, None, 1] + r
+    oh_dx = _onehot(dx, w) * active[:, None, :, None].astype(jnp.bfloat16)
+    oh_dy = _onehot(dy, w)
+    out = jnp.einsum(
+        "bnmi,bnmj->bnij", oh_dx, oh_dy, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
+
+
+def batched_target_onehot(agents_xy, targets_xy, w: int, dtype=jnp.bfloat16):
+    """[B, N, 2] x2 -> dtype[B, N, w, w]: own goal marked, clamped onto
+    the window border when outside (the reference's projection)."""
+    r = w // 2
+    rel = jnp.clip(targets_xy - agents_xy, -r, r) + r  # i32[B, N, 2]
+    oh_x = _onehot(rel[..., 0], w)  # [B, N, w]
+    oh_y = _onehot(rel[..., 1], w)
+    return (oh_x[..., :, None] * oh_y[..., None, :]).astype(dtype)
+
+
 def pairwise_agent_windows(xy, active, w: int, dtype=jnp.float32):
     """Agents-occupancy channel without any occupancy grid.
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from .rollout import Transition, make_rollout_fn
+from .rollout import Transition, make_rollout_fn, make_state_rollout_fn
 
 
 @flax.struct.dataclass
@@ -85,6 +85,188 @@ def compute_gae(traj: Transition, last_values, gamma, lam):
         reverse=True,
     )
     return advantages, advantages + traj.values
+
+
+def init_fused_train_state(core, model, params, config: PPOConfig, key):
+    """TrainState for the fused (obs-free) path: same as
+    :func:`init_train_state` but no observation tensor is ever held."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.lr),
+    )
+    key, k_reset = jax.random.split(key)
+    env_state, _ = core.reset(k_reset)
+    return (
+        TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            env_state=env_state,
+            initial_env_state=env_state,
+            obs=None,
+            key=key,
+        ),
+        tx,
+    )
+
+
+def _check_static_maps(core, config: PPOConfig):
+    """The fused update recomputes embeddings from per-ENV grids captured
+    once per rollout, which is only sound when no env's map can change
+    mid-rollout: 'cached' auto-reset never regenerates maps, and 'regen'
+    is safe exactly when episodes end only at the time limit ('restart')
+    on rollout boundaries (rollout_steps divides max_episode_steps; all
+    envs step in lockstep from step_count 0, so the time limit always
+    lands on a rollout boundary then)."""
+    if core.auto_reset_mode == "cached":
+        return
+    gc = core.grid_config
+    if (
+        gc.on_target == "restart"
+        and gc.max_episode_steps % config.rollout_steps == 0
+    ):
+        return
+    raise ValueError(
+        "fused train step needs static per-rollout maps: use "
+        "auto_reset_mode='cached', or 'regen' with on_target='restart' "
+        "and rollout_steps dividing max_episode_steps "
+        f"(got mode={core.auto_reset_mode!r}, on_target={gc.on_target!r}, "
+        f"max_episode_steps={gc.max_episode_steps}, "
+        f"rollout_steps={config.rollout_steps}); the obs-based "
+        "make_train_step has no such restriction"
+    )
+
+
+def make_fused_train_step(core, model, config: PPOConfig, tx):
+    """PPO train step on the fused, obs-free path (VERDICT r1 item 1).
+
+    vs :func:`make_train_step`: the rollout stores compact state instead
+    of observations (~360x less trajectory HBM), and the update
+    recomputes the policy input by contracting window one-hots directly
+    against the first-layer weights (EmbedActorCritic.from_state) — the
+    obs tensor and its ~12x tile padding never exist. Minibatches shuffle
+    at env-step granularity (all N agents of a sampled (t, b) stay
+    together so they share one grid row); per-minibatch grids are
+    selected from the [B, P, P] batch by a one-hot matmul, not a gather.
+    """
+    _check_static_maps(core, config)
+
+    def apply_state(params, grids, axy, txy, active):
+        return model.apply(params, grids, axy, txy, active,
+                           method=type(model).from_state)
+
+    rollout = make_state_rollout_fn(core, apply_state, config.rollout_steps)
+
+    def loss_fn(params, grids_mb, batch):
+        axy, txy, active, actions, old_log_probs, advantages, targets = batch
+        logits, values = apply_state(params, grids_mb, axy, txy, active)
+        log_probs_all = jax.nn.log_softmax(logits)
+        log_probs = jnp.take_along_axis(
+            log_probs_all, actions[..., None], axis=-1
+        )[..., 0]
+        ratio = jnp.exp(log_probs - old_log_probs)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((values - targets) ** 2)
+        entropy = -jnp.mean(
+            jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
+        )
+        total = pg_loss + config.vf_coef * v_loss - config.entropy_coef * entropy
+        return total, (pg_loss, v_loss, entropy)
+
+    def train_step(ts: TrainState):
+        # Valid for every transition of this rollout (static-map check).
+        grids = ts.env_state.obstacles
+        b = grids.shape[0]
+        p = grids.shape[-1]
+        grids_flat = grids.astype(jnp.bfloat16).reshape(b, p * p)
+
+        env_state, key, traj = rollout(
+            ts.params, ts.env_state, ts.initial_env_state, ts.key
+        )
+        _, last_values = apply_state(
+            ts.params, env_state.obstacles, env_state.agents_xy,
+            env_state.targets_xy, env_state.active,
+        )
+        advantages, targets = compute_gae(
+            traj, last_values, config.gamma, config.gae_lambda
+        )
+
+        # Flatten (T, B, ...) -> (T*B, ...) keeping the agent axis: the
+        # dataset rows are env-steps, so sample s's env is s % B.
+        t_steps = traj.actions.shape[0]
+
+        def flat(x):
+            return x.reshape((t_steps * b,) + x.shape[2:])
+
+        dataset = (
+            flat(traj.agents_xy),
+            flat(traj.targets_xy),
+            flat(traj.active),
+            flat(traj.actions),
+            flat(traj.log_probs),
+            flat(advantages),
+            flat(targets),
+        )
+        env_ids = jnp.tile(jnp.arange(b, dtype=jnp.int32), t_steps)
+        n = t_steps * b
+        mb = n // config.minibatches
+        iota_b = jnp.arange(b, dtype=jnp.int32)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n)
+            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+            ids_shuffled = env_ids[perm]
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
+                )
+                ids = lax.dynamic_slice_in_dim(ids_shuffled, i * mb, mb)
+                # One-hot matmul grid selection (TPU gathers serialize).
+                onehot = (ids[:, None] == iota_b[None, :]).astype(jnp.bfloat16)
+                grids_mb = (onehot @ grids_flat).reshape(mb, p, p)
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, grids_mb, batch
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), stats = lax.scan(
+                minibatch, (params, opt_state), jnp.arange(config.minibatches)
+            )
+            return (params, opt_state, key), stats
+
+        (params, opt_state, key), stats = lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=config.epochs
+        )
+        new_ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            key=key,
+        )
+        loss, pg, vl, ent = (s.mean() for s in stats)
+        out = {
+            "loss": loss,
+            "pg_loss": pg,
+            "v_loss": vl,
+            "entropy": ent,
+            "reward_per_step": traj.rewards.mean(),
+        }
+        done_f = traj.env_dones.astype(jnp.float32)
+        denom = jnp.maximum(done_f.sum(), 1.0)
+        for k, v in traj.metrics.items():
+            out[f"episode_{k}"] = (v * done_f).sum() / denom
+        out["episodes_finished"] = done_f.sum()
+        return new_ts, out
+
+    return train_step
 
 
 def make_train_step(core, model, config: PPOConfig, tx):

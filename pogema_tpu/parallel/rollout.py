@@ -26,6 +26,71 @@ class Transition:
     metrics: dict
 
 
+@flax.struct.dataclass
+class StateTransition:
+    """Compact, obs-free trajectory record for the fused learner path.
+
+    Stores the ~136 B/env-step of state the policy's fused first layer
+    needs (vs ~49 KB of tile-padded obs tensor) — the PPO update
+    recomputes the embedding contraction from these plus the per-env
+    static grids (see parallel.learner.make_fused_train_step).
+    """
+
+    agents_xy: jnp.ndarray  # i32[T, B, N, 2] (pre-step positions)
+    targets_xy: jnp.ndarray  # i32[T, B, N, 2]
+    active: jnp.ndarray  # bool[T, B, N]
+    actions: jnp.ndarray  # i32[T, B, N]
+    log_probs: jnp.ndarray  # f32[T, B, N]
+    values: jnp.ndarray  # f32[T, B, N]
+    rewards: jnp.ndarray  # f32[T, B, N]
+    dones: jnp.ndarray  # bool[T, B, N]
+    env_dones: jnp.ndarray  # bool[T, B]
+    metrics: dict  # f32[T, B] each, valid where env_dones
+
+
+def make_state_rollout_fn(core, apply_state, num_steps: int):
+    """Obs-free rollout: the policy reads EnvState directly through the
+    fused embedding (EmbedActorCritic.from_state); observation assembly
+    is skipped in the env step too. Returns rollout(params, env_state,
+    initial_state, key) -> (env_state, key, StateTransition)."""
+    step_auto = core._make_step_auto(with_obs=False)
+
+    def rollout(params, env_state, initial_state, key):
+        def one(carry, _):
+            s, key = carry
+            key, k_act = jax.random.split(key)
+            logits, values = apply_state(
+                params, s.obstacles, s.agents_xy, s.targets_xy, s.active
+            )
+            actions = jax.random.categorical(k_act, logits)
+            log_probs = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), actions[..., None], axis=-1
+            )[..., 0]
+            new_state, _, res, env_done, metrics = step_auto(
+                s, initial_state, actions
+            )
+            tr = StateTransition(
+                agents_xy=s.agents_xy,
+                targets_xy=s.targets_xy,
+                active=s.active,
+                actions=actions.astype(jnp.int32),
+                log_probs=log_probs,
+                values=values,
+                rewards=res.rewards,
+                dones=res.terminated | res.truncated,
+                env_dones=env_done,
+                metrics=metrics,
+            )
+            return (new_state, key), tr
+
+        (env_state, key), traj = lax.scan(
+            one, (env_state, key), None, length=num_steps
+        )
+        return env_state, key, traj
+
+    return rollout
+
+
 def make_rollout_fn(core, apply_fn, num_steps: int):
     """Returns rollout(params, env_state, initial_state, obs, key) ->
     (env_state, obs, key, Transition). ``initial_state`` feeds the

@@ -1,0 +1,198 @@
+"""Fused (obs-free) learner path: the policy's first layer contracts
+window one-hots directly against the embedding weights, so the obs
+tensor never exists (VERDICT r1 item 1). These tests gate:
+
+1. exactness: EmbedActorCritic.from_state(state) == __call__(observe(state))
+   for every on_target mode (same bf16 weights, f32 accumulation — only
+   summation order differs);
+2. batched window ops == the per-env obs ops they fuse;
+3. the fused PPO train step runs, improves reward on a trivial task, and
+   matches its own static-map precondition;
+4. sharded-vs-unsharded bit-exactness of the fused rollout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pogema_tpu import GridConfig, PogemaCore
+from pogema_tpu.models import EmbedActorCritic, init_embed_params
+from pogema_tpu.ops import windows as W
+
+
+def _random_state(on_target="finish", num_envs=4, num_agents=6, size=12,
+                  seed=0, steps=7):
+    cfg = GridConfig(seed=seed, size=size, num_agents=num_agents,
+                     obs_radius=2, max_episode_steps=32, on_target=on_target)
+    core = PogemaCore(cfg, num_envs=num_envs)
+    state, obs = core.reset(jax.random.key(seed))
+    key = jax.random.key(seed + 1)
+    for _ in range(steps):  # wander so active masks / respawns vary
+        key, k = jax.random.split(key)
+        actions = jax.random.randint(k, (num_envs, num_agents), 0, 5)
+        state, res, _, _ = core.step(state, actions)
+    return core, state, res.observations
+
+
+def test_batched_window_ops_match_unbatched():
+    core, state, _ = _random_state()
+    w = core.cfg.window
+    per_env = jax.vmap(lambda g, xy: W.extract_windows(g, xy, w))(
+        state.obstacles, state.agents_xy
+    )
+    batched = W.batched_extract_windows(
+        state.obstacles, state.agents_xy, w, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(per_env), np.asarray(batched))
+
+    for group in (2, 3, 6):
+        grouped = W.batched_extract_windows(
+            state.obstacles, state.agents_xy, w, dtype=jnp.float32, group=group
+        )
+        np.testing.assert_array_equal(np.asarray(per_env), np.asarray(grouped))
+
+    per_env_a = jax.vmap(lambda xy, act: W.pairwise_agent_windows(xy, act, w))(
+        state.agents_xy, state.active
+    )
+    batched_a = W.batched_pairwise_agent_windows(
+        state.agents_xy, state.active, w, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(per_env_a), np.asarray(batched_a))
+
+
+@pytest.mark.parametrize("on_target", ["finish", "nothing", "restart"])
+def test_from_state_equals_obs_path(on_target):
+    core, state, obs = _random_state(on_target=on_target, seed=3)
+    w = core.cfg.window
+    model, params = init_embed_params(jax.random.key(0), w, embed=64, hidden=64)
+
+    logits_obs, value_obs = model.apply(params, obs)
+    logits_st, value_st = model.apply(
+        params, state.obstacles, state.agents_xy, state.targets_xy,
+        state.active, method=EmbedActorCritic.from_state,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_obs), np.asarray(logits_st), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(value_obs), np.asarray(value_st), atol=2e-3
+    )
+
+
+def test_from_state_grouped_matches_ungrouped():
+    core, state, _ = _random_state(seed=5)
+    w = core.cfg.window
+    model1, params = init_embed_params(jax.random.key(0), w, embed=64, hidden=64)
+    model2 = EmbedActorCritic(window=w, embed=64, hidden=64, window_group=3)
+    l1, v1 = model1.apply(params, state.obstacles, state.agents_xy,
+                          state.targets_xy, state.active,
+                          method=EmbedActorCritic.from_state)
+    l2, v2 = model2.apply(params, state.obstacles, state.agents_xy,
+                          state.targets_xy, state.active,
+                          method=EmbedActorCritic.from_state)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=2e-3)
+
+
+def _fused_setup(on_target="restart", mode="regen", num_envs=8,
+                 rollout_steps=8, max_episode_steps=16, **ppo_kw):
+    from pogema_tpu.parallel import (
+        PPOConfig, init_fused_train_state, make_fused_train_step,
+    )
+
+    cfg = GridConfig(seed=0, size=8, density=0.2, num_agents=2, obs_radius=2,
+                     max_episode_steps=max_episode_steps, on_target=on_target)
+    core = PogemaCore(cfg, num_envs=num_envs, auto_reset_mode=mode)
+    model, params = init_embed_params(jax.random.key(0), core.cfg.window,
+                                      embed=32, hidden=32)
+    ppo = PPOConfig(rollout_steps=rollout_steps, epochs=1, minibatches=2,
+                    **ppo_kw)
+    ts, tx = init_fused_train_state(core, model, params, ppo, jax.random.key(1))
+    return core, model, ppo, ts, tx, make_fused_train_step
+
+
+def test_fused_train_step_runs_and_is_finite():
+    core, model, ppo, ts, tx, make = _fused_setup()
+    train_step = jax.jit(make(core, model, ppo, tx))
+    for _ in range(3):
+        ts, stats = train_step(ts)
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["entropy"]))
+    assert float(stats["entropy"]) > 0.0
+
+
+def test_fused_static_map_precondition():
+    from pogema_tpu.parallel import PPOConfig, make_fused_train_step
+
+    # regen + finish can regenerate maps mid-rollout -> must refuse.
+    cfg = GridConfig(seed=0, size=8, num_agents=2, obs_radius=2,
+                     max_episode_steps=16, on_target="finish")
+    core = PogemaCore(cfg, num_envs=4, auto_reset_mode="regen")
+    model, _ = init_embed_params(jax.random.key(0), core.cfg.window,
+                                 embed=32, hidden=32)
+    with pytest.raises(ValueError, match="static per-rollout maps"):
+        make_fused_train_step(core, model, PPOConfig(rollout_steps=8), tx=None)
+    # cached mode is always fine.
+    core2 = PogemaCore(cfg, num_envs=4, auto_reset_mode="cached")
+    import optax
+
+    make_fused_train_step(core2, model, PPOConfig(rollout_steps=8),
+                          tx=optax.sgd(1e-3))
+    # regen + restart + misaligned rollout -> refuse.
+    cfg3 = cfg.model_copy(update={"on_target": "restart"})
+    core3 = PogemaCore(cfg3, num_envs=4, auto_reset_mode="regen")
+    with pytest.raises(ValueError, match="static per-rollout maps"):
+        make_fused_train_step(core3, model, PPOConfig(rollout_steps=7), tx=None)
+
+
+def test_fused_learner_improves_on_trivial_task():
+    # 1 agent, tiny map, dense goal reward (restart): reward/step should
+    # rise above the random-policy level within a few hundred updates.
+    from pogema_tpu.parallel import (
+        PPOConfig, init_fused_train_state, make_fused_train_step,
+    )
+
+    cfg = GridConfig(seed=0, size=4, density=0.0, num_agents=1, obs_radius=2,
+                     max_episode_steps=32, on_target="restart")
+    core = PogemaCore(cfg, num_envs=32, auto_reset_mode="cached")
+    model, params = init_embed_params(jax.random.key(0), core.cfg.window,
+                                      embed=32, hidden=32)
+    ppo = PPOConfig(rollout_steps=32, epochs=2, minibatches=2, lr=3e-3,
+                    entropy_coef=0.003)
+    ts, tx = init_fused_train_state(core, model, params, ppo, jax.random.key(1))
+    train_step = jax.jit(make_fused_train_step(core, model, ppo, tx))
+    first = None
+    last = 0.0
+    for i in range(60):
+        ts, stats = train_step(ts)
+        r = float(stats["reward_per_step"])
+        if first is None:
+            first = r
+        last = 0.8 * last + 0.2 * r if i else r
+    assert last > first + 0.02, (first, last)
+
+
+def test_fused_rollout_sharding_invariance():
+    # Bit-identical trajectories with the env batch sharded over an
+    # 8-device mesh vs unsharded (per-env PRNG keys; fused policy path).
+    from pogema_tpu.parallel import (
+        PPOConfig, init_fused_train_state, make_fused_train_step, make_mesh,
+        shard_batch,
+    )
+
+    core, model, ppo, ts, tx, make = _fused_setup(num_envs=8)
+    train_step = jax.jit(make(core, model, ppo, tx))
+    ts1, stats1 = train_step(ts)
+
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    with mesh:
+        ts_sh = ts.replace(
+            env_state=shard_batch(ts.env_state, mesh),
+            initial_env_state=shard_batch(ts.initial_env_state, mesh),
+        )
+        ts2, stats2 = train_step(ts_sh)
+    np.testing.assert_array_equal(
+        np.asarray(ts1.env_state.agents_xy), np.asarray(ts2.env_state.agents_xy)
+    )
+    assert np.isfinite(float(stats2["loss"]))
