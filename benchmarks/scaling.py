@@ -27,11 +27,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 def measure(core, envs, agents, steps, mesh=None):
     from pogema_tpu.parallel import shard_batch
+    from pogema_tpu.parallel.mesh import global_batch_from_host
 
     step_auto = core._make_step_auto()
     state, _ = core.reset(jax.random.key(0))
     if mesh is not None:
-        state = shard_batch(state, mesh)
+        # Multi-process: every process holds the identical reset (it is
+        # deterministic), so each materializes just its global shards.
+        put = global_batch_from_host if jax.process_count() > 1 else shard_batch
+        state = put(state, mesh)
 
     def run(state, initial_state, key, num_steps):
         def one(carry, _):
@@ -66,11 +70,29 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--distributed", action="store_true",
-                    help="multi-host: call jax.distributed.initialize()")
+                    help="multi-host: call jax.distributed.initialize() "
+                         "(auto-detected coordinator on TPU pods; for a "
+                         "manual loopback run pass --coordinator/"
+                         "--process-id/--num-processes)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (loopback testing)")
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for loopback "
+                         "validation; the env's sitecustomize overrides "
+                         "JAX_PLATFORMS, so an env var is not enough)")
     args = ap.parse_args()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
-        initialize_distributed()
+        kw = {}
+        if args.coordinator is not None:
+            kw = dict(coordinator_address=args.coordinator,
+                      process_id=args.process_id,
+                      num_processes=args.num_processes)
+        initialize_distributed(**kw)
     n = len(jax.devices())
     cfg = GridConfig(seed=0, size=args.size, num_agents=args.agents,
                      obs_radius=5, max_episode_steps=128)

@@ -49,6 +49,30 @@ def shard_batch(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
+def global_batch_from_host(tree, mesh: Mesh):
+    """Multi-PROCESS version of :func:`shard_batch`: build global arrays
+    sharded over the mesh 'data' axis from a host pytree that every
+    process holds identically (deterministic reset ⇒ cheap and safe).
+    Each process materializes only its addressable shards
+    (``jax.make_array_from_callback``), so no cross-process transfer
+    happens. PRNG-key leaves round-trip through key_data/wrap_key_data.
+    """
+
+    def put(x):
+        is_key = hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        )
+        raw = np.asarray(jax.random.key_data(x)) if is_key else np.asarray(x)
+        batched = raw.ndim >= (2 if is_key else 1)  # keys carry a data dim
+        sharding = NamedSharding(mesh, P("data") if batched else P())
+        arr = jax.make_array_from_callback(
+            raw.shape, sharding, lambda idx: raw[idx]
+        )
+        return jax.random.wrap_key_data(arr) if is_key else arr
+
+    return jax.tree.map(put, tree)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
