@@ -35,23 +35,11 @@ CONFIGS = {
 
 
 def make_mixed_bank(size: int, k: int = 64):
-    """Half Bernoulli-random, half sidewinder mazes (config E 'mixed
-    random+maze pool'), generated on device."""
-    from pogema_tpu import GridConfig
-    from pogema_tpu.core import generator
+    """Config E 'mixed random+maze pool' — now a library feature
+    (pogema_tpu.maps.mixed_pool)."""
+    from pogema_tpu.maps import mixed_pool
 
-    cfg = GridConfig(seed=0, size=size).to_static()
-
-    def one_random(key):
-        return generator.bernoulli_obstacles(cfg, key)
-
-    def one_maze(key):
-        return generator.sidewinder_maze(cfg, key)
-
-    keys = jax.random.split(jax.random.key(123), k)
-    rand = jax.vmap(one_random)(keys[: k // 2])
-    maze = jax.vmap(one_maze)(keys[k // 2 :])
-    return jnp.concatenate([rand, maze], axis=0)
+    return mixed_pool(size, k)
 
 
 def run_config(name: str, steps: int, collision_system: str) -> dict:

@@ -1,10 +1,18 @@
-"""Named map registry (upstream: ``GridConfig.map_name`` + the ecosystem
-map collections, SURVEY.md §1 "Ecosystem"). Core ships a few built-in
-layouts; users register their own with :func:`register_map` (string maps
-use the same ``.#``/letter grammar as ``GridConfig.map``).
+"""Named map registry + benchmark map pool (upstream: ``GridConfig.map_name``
++ the ecosystem map collections — mazes, warehouses, MovingAI cities,
+SURVEY.md §1 "Ecosystem", §2 "Map generation"). Core ships a realistic
+built-in pool (procedurally generated host-side, deterministic); users
+register their own with :func:`register_map` (string maps use the same
+``.#``/letter grammar as ``GridConfig.map``).
+
+Pool helpers (:func:`make_pool`, :func:`mixed_pool`) return stacked
+``uint8[K, S, S]`` banks for ``PogemaCore(map_bank=...)`` — each env
+draws a map uniformly from the bank at reset, on device.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 _REGISTRY: dict = {}
 
@@ -50,6 +58,134 @@ def load_movingai(text: str):
     for r in grid:
         r.extend([1] * (width - len(r)))
     return grid
+
+
+# -- procedural generators (host NumPy, deterministic) ------------------
+# These build the benchmark pool the reference's ecosystem ships as map
+# collections (SURVEY.md §1 "Ecosystem": mazes, random, warehouses,
+# MovingAI cities). They are data, not engine code: the on-device
+# generators in core/generator.py stay the fast path for random maps.
+
+
+def np_maze(size: int, seed: int = 0) -> list:
+    """Perfect maze (sidewinder on the odd lattice), list[list[int]]."""
+    rng = np.random.default_rng(seed)
+    m = (size + 1) // 2
+    ll = 2 * m - 1
+    grid = np.ones((ll, ll), np.uint8)
+    grid[::2, ::2] = 0
+    for i in range(m):
+        run_start = 0
+        for j in range(m):
+            carve_east = j + 1 < m and (i == 0 or rng.random() < 0.5)
+            if carve_east:
+                grid[2 * i, 2 * j + 1] = 0
+            else:
+                if i > 0:
+                    k = rng.integers(run_start, j + 1)
+                    grid[2 * i - 1, 2 * k] = 0
+                run_start = j + 1
+    out = np.ones((size, size), np.uint8)
+    out[:ll, :ll] = grid[:size, :size]
+    return out.tolist()
+
+
+def np_warehouse(size: int, shelf_w: int = 4, shelf_h: int = 2,
+                 aisle: int = 1, margin: int = 1) -> list:
+    """Warehouse layout: rows of shelf blocks separated by aisles (the
+    standard L-MAPF fulfillment-center benchmark shape)."""
+    g = np.zeros((size, size), np.uint8)
+    y = margin + aisle
+    while y + shelf_h + aisle <= size - margin:
+        x = margin + aisle
+        while x + shelf_w + aisle <= size - margin:
+            g[y:y + shelf_h, x:x + shelf_w] = 1
+            x += shelf_w + aisle
+        y += shelf_h + aisle
+    return g.tolist()
+
+
+def np_city(size: int, seed: int = 0, block: int = 7, street: int = 2,
+            infill: float = 0.85) -> list:
+    """City-grid layout: building blocks cut by a street lattice with
+    jittered widths and occasional plazas (MovingAI-city-like structure)."""
+    rng = np.random.default_rng(seed)
+    g = np.ones((size, size), np.uint8)
+
+    def cuts(limit):
+        pos, out = 0, []
+        while pos < limit:
+            b = block + int(rng.integers(-2, 3))
+            pos += max(3, b)
+            w = street + int(rng.integers(0, 2))
+            out.append((pos, min(pos + w, limit)))
+            pos += w
+        return out
+
+    for a, b in cuts(size):
+        g[a:b, :] = 0
+    for a, b in cuts(size):
+        g[:, a:b] = 0
+    # a few plazas
+    n_plaza = max(1, size // 32)
+    for _ in range(n_plaza):
+        cy, cx = rng.integers(0, size, 2)
+        r = int(rng.integers(size // 16 + 1, size // 8 + 2))
+        g[max(0, cy - r):cy + r, max(0, cx - r):cx + r] = 0
+    # carve doorways so buildings don't create huge solid walls
+    obst = np.argwhere(g == 1)
+    if len(obst):
+        keep = rng.random(len(obst)) < infill
+        for (y, x) in obst[~keep]:
+            g[y, x] = 0
+    return g.tolist()
+
+
+def to_movingai(grid) -> str:
+    """Format a 0/1 grid as a MovingAI ``.map`` file (inverse of
+    :func:`load_movingai`)."""
+    grid = np.asarray(grid, np.uint8)
+    h, w = grid.shape
+    rows = "\n".join("".join("@" if c else "." for c in row) for row in grid)
+    return f"type octile\nheight {h}\nwidth {w}\nmap\n{rows}\n"
+
+
+def make_pool(names) -> np.ndarray:
+    """Stack registered maps into a ``uint8[K, S, S]`` bank for
+    ``PogemaCore(map_bank=...)``. All maps must share one size."""
+    from .grid_config import parse_map
+
+    grids = []
+    for name in names:
+        grid, _, _ = parse_map(get_map(name))
+        grids.append(np.asarray(grid, np.uint8))
+    shapes = {g.shape for g in grids}
+    if len(shapes) != 1:
+        raise ValueError(f"pool maps must share one size, got {shapes}")
+    return np.stack(grids)
+
+
+def mixed_pool(size: int, k: int = 64, seed: int = 123) -> np.ndarray:
+    """uint8[k, size, size]: half Bernoulli-random (density 0.3), half
+    perfect mazes — the config-E 'mixed random+maze pool' (BASELINE.md),
+    promoted out of benchmarks/run.py into the library surface."""
+    rng = np.random.default_rng(seed)
+    maps = []
+    for i in range(k // 2):
+        maps.append((rng.random((size, size)) < 0.3).astype(np.uint8))
+    for i in range(k - k // 2):
+        maps.append(np.asarray(np_maze(size, seed=seed + i), np.uint8))
+    return np.stack(maps)
+
+
+def benchmark_pool(size: int = 64) -> np.ndarray:
+    """The realistic built-in pool at a given size (mazes + warehouses +
+    cities + random), as a stacked bank."""
+    names = [n for n in list_maps() if n.endswith(f"-{size}x{size}")
+             or f"-{size}x{size}-" in n]
+    if not names:
+        raise ValueError(f"no built-in maps at size {size}")
+    return make_pool(names)
 
 
 # -- built-ins ----------------------------------------------------------
@@ -131,3 +267,24 @@ register_map(
     ................
     """,
 )
+
+# Realistic benchmark pool (VERDICT r1 item 6): 64x64 mazes, warehouses,
+# city layouts, random fields — counterparts of the ecosystem collections
+# (SURVEY.md §1). Deterministic procedural data, generated at import.
+for _i in range(4):
+    register_map(f"maze-64x64-{_i}", np_maze(64, seed=_i))
+register_map("warehouse-64x64", np_warehouse(64, shelf_w=8, shelf_h=2,
+                                             aisle=2, margin=2))
+register_map("warehouse-32x32", np_warehouse(32, shelf_w=4, shelf_h=2,
+                                             aisle=1, margin=1))
+for _i in range(2):
+    register_map(f"city-64x64-{_i}", np_city(64, seed=_i))
+# One city goes through the MovingAI text format round-trip so the loader
+# path is exercised by real registry content.
+register_map("movingai-city-64x64", load_movingai(to_movingai(np_city(64, seed=7))))
+for _i in range(2):
+    register_map(
+        f"random-64x64-{_i}",
+        (np.random.default_rng(100 + _i).random((64, 64)) < 0.3)
+        .astype(np.uint8).tolist(),
+    )
