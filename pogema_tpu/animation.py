@@ -182,6 +182,36 @@ class AnimationMonitor(gymnasium.Wrapper):
         color_iter = cycle(_COLORS)
         colors = [next(color_iter) for _ in range(n)]
 
+        # agent -> goal guide lines (the reference's show_lines flag,
+        # SURVEY.md §2 "Animation": show_agents/lines/border). Drawn under
+        # agents/goals; animated alongside them, fading out when the agent
+        # deactivates.
+        if cfg.show_lines:
+            for i in range(n):
+                if ego is not None and i != ego:
+                    continue
+                h0 = history[0][i]
+                line = Line(
+                    x1=cx(h0.y), y1=cy(h0.x),
+                    x2=cx(h0.ty), y2=cy(h0.tx),
+                    stroke=colors[i], stroke_width=2,
+                    stroke_dasharray="4,4", opacity=0.6,
+                )
+                if not cfg.static:
+                    for attr, vals in (
+                        ("x1", ";".join(str(cx(h[i].y)) for h in history)),
+                        ("y1", ";".join(str(cy(h[i].x)) for h in history)),
+                        ("x2", ";".join(str(cx(h[i].ty)) for h in history)),
+                        ("y2", ";".join(str(cy(h[i].tx)) for h in history)),
+                        ("opacity", ";".join(
+                            "0.6" if h[i].active else "0.0" for h in history)),
+                    ):
+                        line.animations.append(
+                            Animation(attributeName=attr, values=vals,
+                                      dur=f"{dur}s", repeatCount="indefinite")
+                        )
+                d.elements.append(line)
+
         # goal markers
         if cfg.show_targets:
             for i in range(n):

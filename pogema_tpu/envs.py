@@ -176,6 +176,36 @@ class Pogema(gymnasium.Env):
     def get_lifelong_targets_xy(self, ignore_borders: bool = True):
         return self.get_targets_xy(ignore_borders=ignore_borders)
 
+    def has_obstacle(self, x: int, y: int, ignore_borders: bool = True) -> bool:
+        """True iff cell (x, y) is an obstacle (upstream: Grid.has_obstacle,
+        SURVEY.md §2 "Grid state"). Coordinates follow the same convention
+        as :meth:`get_obstacles`: logical map coords with
+        ``ignore_borders=True`` (default), padded coords otherwise."""
+        if ignore_borders:
+            r = self._cfg.obs_radius
+            x, y = x + r, y + r
+        return bool(np.asarray(self._state.obstacles[0])[x, y])
+
+    def hide_agent(self, agent_idx: int) -> bool:
+        """Deactivate one agent: it vanishes from other agents' observation
+        windows and no longer moves or blocks (upstream: Grid.hide_agent —
+        the disappear-on-finish primitive, SURVEY.md §2 "Grid state").
+        Returns True on success (False for an out-of-range index)."""
+        return self._set_agent_visibility(agent_idx, False)
+
+    def show_agent(self, agent_idx: int) -> bool:
+        """Re-activate an agent previously hidden with :meth:`hide_agent`
+        (upstream: Grid.show_agent)."""
+        return self._set_agent_visibility(agent_idx, True)
+
+    def _set_agent_visibility(self, agent_idx: int, value: bool) -> bool:
+        if not 0 <= agent_idx < self.num_agents:
+            return False
+        active = np.asarray(self._state.active).copy()
+        active[0, agent_idx] = value
+        self._state = self._state.replace(active=jnp.asarray(active))
+        return True
+
     def get_state(self):
         """Flat global state vector (used by the PyMARL integration)."""
         g = self.get_obstacles().astype(np.float32).reshape(-1)

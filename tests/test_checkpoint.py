@@ -42,3 +42,48 @@ def test_params_roundtrip(tmp_path):
     restored = restore_checkpoint(path, like=fresh)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_resume_equals_uninterrupted(tmp_path):
+    """save -> restore -> continue reproduces an uninterrupted run
+    bit-exactly: params, opt state, env state and PRNG all round-trip
+    through orbax (VERDICT r1 item 8 / SURVEY.md §5 failure recovery)."""
+    from pogema_tpu.models import init_embed_params
+    from pogema_tpu.parallel import (
+        PPOConfig, init_fused_train_state, make_fused_train_step,
+    )
+
+    cfg = GridConfig(seed=0, size=8, density=0.2, num_agents=2, obs_radius=2,
+                     max_episode_steps=8, on_target="restart")
+    core = PogemaCore(cfg, num_envs=8, auto_reset_mode="regen")
+    ppo = PPOConfig(rollout_steps=4, epochs=1, minibatches=2)
+    model, params = init_embed_params(jax.random.key(0), 5, embed=16, hidden=16)
+    ts, tx = init_fused_train_state(core, model, params, ppo, jax.random.key(1))
+    train_step = jax.jit(make_fused_train_step(core, model, ppo, tx))
+
+    # uninterrupted: 4 steps
+    ts_a = ts
+    for _ in range(4):
+        ts_a, _ = train_step(ts_a)
+
+    # interrupted: 2 steps, checkpoint, restore into a FRESH state, 2 more
+    ts_b = ts
+    for _ in range(2):
+        ts_b, _ = train_step(ts_b)
+    path = str(tmp_path / "train_ckpt")
+    save_checkpoint(path, ts_b)
+
+    ts_fresh, _ = init_fused_train_state(core, model, params, ppo,
+                                         jax.random.key(2))
+    ts_c = restore_checkpoint(path, like=ts_fresh)
+    for _ in range(2):
+        ts_c, _ = train_step(ts_c)
+
+    for a, c in zip(jax.tree.leaves(ts_a.params), jax.tree.leaves(ts_c.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree.leaves(ts_a.opt_state), jax.tree.leaves(ts_c.opt_state)):
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert np.array_equal(np.asarray(ts_a.env_state.agents_xy),
+                          np.asarray(ts_c.env_state.agents_xy))
+    assert np.array_equal(jax.random.key_data(ts_a.key),
+                          jax.random.key_data(ts_c.key))

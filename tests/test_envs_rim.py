@@ -330,3 +330,54 @@ def test_actions_sampler_export():
     s = ActionsSampler(seed=0)
     acts = s.sample_actions(dim=5)
     assert len(acts) == 5 and all(0 <= a < 5 for a in acts)
+
+
+def test_animation_show_lines(tmp_path):
+    cfg = small_cfg(seed=12, max_episode_steps=4)
+    env = AnimationMonitor(pogema_v0(cfg), AnimationConfig(
+        directory=str(tmp_path), save_every_idx_episode=None))
+    rng = np.random.default_rng(0)
+    env.reset()
+    for _ in range(4):
+        env.step(rng.integers(0, 5, size=2).tolist())
+    with_lines = env.save_animation(str(tmp_path / "lines.svg"),
+                                    AnimationConfig(show_lines=True))
+    without = env.save_animation(str(tmp_path / "nolines.svg"),
+                                 AnimationConfig(show_lines=False))
+    assert "<line" in open(with_lines).read()
+    assert "<line" not in open(without).read()
+    # egocentric: only the ego agent's line
+    ego = env.save_animation(str(tmp_path / "ego_lines.svg"),
+                             AnimationConfig(show_lines=True, egocentric_idx=0))
+    assert open(ego).read().count("<line") == 1
+
+
+def test_has_obstacle_accessor():
+    env = Pogema(small_cfg(seed=3))
+    env.reset()
+    g = env.get_obstacles()  # ignore_borders=True convention
+    for x in range(g.shape[0]):
+        for y in range(g.shape[1]):
+            assert env.has_obstacle(x, y) == bool(g[x][y])
+    # padded coords: the border ring is all obstacle
+    assert env.has_obstacle(0, 0, ignore_borders=False)
+
+
+def test_hide_show_agent():
+    # open map, two adjacent agents: agent 1 sees agent 0 until hidden
+    cfg = GridConfig(seed=0, size=6, num_agents=2, obs_radius=2,
+                     max_episode_steps=16,
+                     map="......\n" * 5 + "......",
+                     agents_xy=[[2, 2], [2, 3]], targets_xy=[[0, 0], [5, 5]])
+    env = Pogema(cfg)
+    env.reset()
+    obs, *_ = env.step([0, 0])
+    assert obs[1][1][2, 1] == 1.0  # agent 0 visible in agent 1's window
+    assert env.hide_agent(0)
+    obs, *_ = env.step([0, 0])
+    assert obs[1][1][2, 1] == 0.0  # hidden
+    assert env.active[0] is False
+    assert env.show_agent(0)
+    obs, *_ = env.step([0, 0])
+    assert obs[1][1][2, 1] == 1.0  # back
+    assert not env.hide_agent(5)  # out of range -> False, state unchanged
