@@ -74,6 +74,12 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
     step_auto = core._make_step_auto()
     state, _ = core.reset(jax.random.key(0))
 
+    # Tiny-batch configs are op-count-bound, not FLOP-bound: unrolling the
+    # scan lets XLA fuse elementwise chains ACROSS consecutive steps,
+    # amortizing per-op dispatch overhead. At large B the per-step work is
+    # real FLOPs and unrolling only bloats the program.
+    unroll = 8 if envs * agents <= 1024 else 1
+
     def run(state, initial_state, key, num_steps):
         def one(carry, _):
             s, k = carry
@@ -82,7 +88,8 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
             ns, _, res, _, _ = step_auto(s, initial_state, a)
             return (ns, k), res.rewards.sum()
 
-        (s, _), rews = lax.scan(one, (state, key), None, length=num_steps)
+        (s, _), rews = lax.scan(one, (state, key), None, length=num_steps,
+                                unroll=unroll)
         return s, rews.sum()
 
     run_jit = jax.jit(run, static_argnums=(3,))

@@ -182,4 +182,12 @@ _RESOLVERS = {
 def resolve_moves(cfg: StaticConfig, obstacles, agents_xy, active, actions):
     """Dispatch on the (static) collision system. ``obstacles`` is the
     padded u8[P, P] grid of one env."""
+    if cfg.num_agents == 1:
+        # Single agent: no agent-agent conflict is possible under ANY
+        # system, so the obstacle-validated proposal IS the resolution.
+        # Cuts the [N, N] machinery and the fixpoint while_loop from the
+        # program — at B=1 (config A) the step is op-count-bound, not
+        # FLOP-bound, so dead tiny ops dominate the step latency.
+        desired, _, _, _ = propose(obstacles, agents_xy, active, actions)
+        return desired
     return _RESOLVERS[cfg.collision_system](obstacles, agents_xy, active, actions)

@@ -26,16 +26,18 @@ from .types import EnvState
 
 def episode_metrics(cfg: StaticConfig, state: EnvState) -> dict:
     """Metrics for ONE env (caller vmaps). All entries f32 scalars."""
+    steps = jnp.maximum(state.step_count, 1).astype(jnp.float32)
+    out = {"ep_length": state.step_count.astype(jnp.float32)}
+    if cfg.on_target == "restart":
+        # LifeLong: ISR/CSR are undefined (episodes never "succeed"; the
+        # reference gates its metric wrappers by mode) — the episode
+        # metric is throughput.
+        out["avg_throughput"] = jnp.sum(state.goals_achieved).astype(jnp.float32) / steps
+        return out
     if cfg.on_target == "nothing":
         succeeded = jnp.all(state.agents_xy == state.targets_xy, axis=-1)
     else:
         succeeded = state.on_goal_ever
-    steps = jnp.maximum(state.step_count, 1).astype(jnp.float32)
-    out = {
-        "ISR": jnp.mean(succeeded.astype(jnp.float32)),
-        "CSR": jnp.all(succeeded).astype(jnp.float32),
-        "ep_length": state.step_count.astype(jnp.float32),
-    }
-    if cfg.on_target == "restart":
-        out["avg_throughput"] = jnp.sum(state.goals_achieved).astype(jnp.float32) / steps
+    out["ISR"] = jnp.mean(succeeded.astype(jnp.float32))
+    out["CSR"] = jnp.all(succeeded).astype(jnp.float32)
     return out

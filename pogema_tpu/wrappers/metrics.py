@@ -64,12 +64,22 @@ class AbstractMetric(gymnasium.Wrapper):
 
 class ISRMetric(AbstractMetric):
     """Individual success rate for disappear ('finish') mode: an agent
-    succeeds when its terminated flag first turns True."""
+    succeeds when its terminated flag first turns True.
+
+    Meaningless under LifeLong ('restart': terminated never fires) — the
+    reference gates wrapper choice by mode, so this wrapper declines to
+    emit there (warns once, injects nothing) instead of silently
+    reporting ISR=0; use LifeLongAverageThroughputMetric."""
 
     name = "ISR"
 
     def _reset_state(self):
         self._succeeded = None
+        self._warned = False
+
+    def _wrong_mode(self):
+        gc = getattr(self.env.unwrapped, "grid_config", None)
+        return gc is not None and gc.on_target == "restart"
 
     def _accumulate(self, obs, rewards, terminated, truncated, infos):
         if self._succeeded is None:
@@ -78,6 +88,18 @@ class ISRMetric(AbstractMetric):
             self._succeeded[i] = self._succeeded[i] or bool(t)
 
     def _value(self):
+        if self._wrong_mode():
+            if not self._warned:
+                import warnings
+
+                warnings.warn(
+                    f"{type(self).__name__} is undefined under "
+                    "on_target='restart' (LifeLong) — no metric emitted; "
+                    "use LifeLongAverageThroughputMetric",
+                    stacklevel=3,
+                )
+                self._warned = True
+            return None
         return float(sum(self._succeeded)) / len(self._succeeded)
 
 
@@ -85,6 +107,8 @@ class CSRMetric(ISRMetric):
     name = "CSR"
 
     def _value(self):
+        if self._wrong_mode():
+            return super()._value()  # warn-once + None
         return float(all(self._succeeded))
 
 

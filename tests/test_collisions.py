@@ -247,3 +247,32 @@ def test_rotating_cycle(system):
         assert got == [[a, b], [b, b], [b, a], [a, a]]  # rotated
     else:
         assert got == xy  # frozen
+
+
+def test_single_agent_fast_path_matches_general_resolvers():
+    """cfg.num_agents == 1 skips the [N, N] machinery; it must equal every
+    general resolver exactly (no agent-agent conflicts exist at N=1)."""
+    import numpy as np
+
+    from pogema_tpu.core import collisions
+    from pogema_tpu.grid_config import GridConfig
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        size, r = 6, 2
+        p = size + 2 * r
+        grid = np.ones((p, p), np.uint8)
+        inner = (rng.random((size, size)) < 0.3).astype(np.uint8)
+        grid[r:-r, r:-r] = inner
+        free = np.argwhere(grid == 0)
+        xy = free[rng.integers(len(free))][None, :].astype(np.int32)
+        active = np.ones(1, bool)
+        action = rng.integers(0, 5, size=1).astype(np.int32)
+        cfg = GridConfig(seed=0, size=size, num_agents=1, obs_radius=r).to_static()
+        fast = np.asarray(collisions.resolve_moves(
+            cfg, jnp.asarray(grid), jnp.asarray(xy), jnp.asarray(active),
+            jnp.asarray(action)))
+        for name, fn in collisions._RESOLVERS.items():
+            ref = np.asarray(fn(jnp.asarray(grid), jnp.asarray(xy),
+                                jnp.asarray(active), jnp.asarray(action)))
+            assert np.array_equal(fast, ref), (trial, name)

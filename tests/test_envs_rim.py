@@ -381,3 +381,24 @@ def test_hide_show_agent():
     obs, *_ = env.step([0, 0])
     assert obs[1][1][2, 1] == 1.0  # back
     assert not env.hide_agent(5)  # out of range -> False, state unchanged
+
+
+def test_isr_csr_decline_under_lifelong():
+    """ISR/CSR are undefined for LifeLong; the wrappers must warn and emit
+    nothing rather than silently reporting 0 (reference gates wrapper
+    choice by mode)."""
+    import warnings
+
+    env = CSRMetric(ISRMetric(LifeLongAverageThroughputMetric(
+        PogemaLifeLong(small_cfg(seed=5, max_episode_steps=6)))))
+    rng = np.random.default_rng(0)
+    env.reset()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(6):
+            obs, rew, term, trunc, infos = env.step(
+                rng.integers(0, 5, size=2).tolist())
+        assert any("undefined under" in str(x.message) for x in w)
+    mets = infos[0]["metrics"]
+    assert "ISR" not in mets and "CSR" not in mets
+    assert "avg_throughput" in mets
