@@ -100,6 +100,47 @@ def main():
     print(json.dumps({"stage": "train_step", "env_steps_per_s": round(denom / dt),
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
+    # 4. decompose the update: epoch shuffle (row gathers) vs one
+    # minibatch grad step, on the exact dataset shapes.
+    n_agents = args.agents
+    n = T * B
+    mb = n // args.minibatches
+    dataset = (
+        jnp.zeros((n, n_agents, 2), jnp.int32),   # agents_xy
+        jnp.zeros((n, n_agents, 2), jnp.int32),   # targets_xy
+        jnp.ones((n, n_agents), bool),            # active
+        jnp.zeros((n, n_agents), jnp.int32),      # actions
+        jnp.zeros((n, n_agents), jnp.float32),    # log_probs
+        jnp.ones((n, n_agents), jnp.float32),     # advantages
+        jnp.ones((n, n_agents), jnp.float32),     # targets
+    )
+
+    @jax.jit
+    def shuffle(key, dataset):
+        perm = jax.random.permutation(key, n)
+        return jax.tree.map(lambda x: x[perm], dataset)
+
+    dt = timeit(shuffle, jax.random.key(3), dataset)
+    print(json.dumps({"stage": "epoch_shuffle_gather", "ms": round(dt * 1e3, 2),
+                      "per_train_step_ms": round(dt * 1e3 * args.epochs, 2)}),
+          flush=True)
+
+    p = ts.env_state.obstacles.shape[-1]
+    grids_mb = jnp.zeros((mb, p, p), jnp.bfloat16)
+    batch = jax.tree.map(lambda x: x[:mb], dataset)
+
+    def loss_fn(params):
+        logits, values = apply_state(params, grids_mb, batch[0], batch[1],
+                                     batch[2])
+        return jnp.mean(logits) + jnp.mean(values)
+
+    grad = jax.jit(jax.grad(loss_fn))
+    dt = timeit(grad, ts.params)
+    per_step = dt * args.epochs * args.minibatches
+    print(json.dumps({"stage": "grad_minibatch", "ms": round(dt * 1e3, 2),
+                      "per_train_step_ms": round(per_step * 1e3, 2)}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -74,13 +74,30 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
     step_auto = core._make_step_auto()
     state, _ = core.reset(jax.random.key(0))
 
-    # Tiny-batch configs are op-count-bound, not FLOP-bound: unrolling the
-    # scan lets XLA fuse elementwise chains ACROSS consecutive steps,
-    # amortizing per-op dispatch overhead. At large B the per-step work is
-    # real FLOPs and unrolling only bloats the program.
-    unroll = 8 if envs * agents <= 1024 else 1
+    # Tiny-batch configs are latency-bound, not FLOP-bound: measured on a
+    # v5e at B=1, a scan body of JUST split+randint costs 22.3 us/step
+    # while the full env step costs 25.3 (benchmarks/config_a_probe.py) —
+    # the sequential threefry chain IS the floor. Pre-sampling all actions
+    # in one batched randint before the scan (still inside the timed
+    # program) removes it; the scan then measures the env, not the RNG.
+    # At large B the in-loop RNG is overlapped/cheap and pre-sampling
+    # would add [T, B, N] HBM traffic, so keep it in-loop there.
+    presample = envs * agents <= 1024
+    unroll = 8 if presample else 1
 
     def run(state, initial_state, key, num_steps):
+        if presample:
+            actions = jax.random.randint(
+                key, (num_steps, envs, agents), 0, 5, dtype=jnp.int32
+            )
+
+            def one(s, a):
+                ns, _, res, _, _ = step_auto(s, initial_state, a)
+                return ns, res.rewards.sum()
+
+            s, rews = lax.scan(one, state, actions, unroll=unroll)
+            return s, rews.sum()
+
         def one(carry, _):
             s, k = carry
             k, kk = jax.random.split(k)

@@ -38,7 +38,6 @@ def main():
     ap.add_argument("--model", choices=["fused", "conv"], default="fused")
     ap.add_argument("--embed", type=int, default=256)
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--window-group", type=int, default=1)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--log", default=None,
                     help="CSV file for per-iteration training stats")
@@ -81,7 +80,6 @@ def main():
         core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset)
         model, params = init_embed_params(
             jax.random.key(0), window, embed=args.embed, hidden=args.hidden,
-            window_group=args.window_group,
         )
     else:
         # bf16 observations halve rollout HBM traffic; the model computes

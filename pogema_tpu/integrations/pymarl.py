@@ -24,6 +24,12 @@ class PyMarlPogema:
         self._obs, self._last_infos = self._env.reset()
         return self.get_obs(), self.get_state()
 
+    def _ensure_started(self):
+        # PyMARL queries get_env_info()/get_state() BEFORE the first
+        # reset() (runners build networks from the shapes first).
+        if self._obs is None:
+            self.reset()
+
     def step(self, actions):
         obs, rewards, terminated, truncated, infos = self._env.step(
             [int(a) for a in actions]
@@ -35,6 +41,7 @@ class PyMarlPogema:
         return float(np.sum(rewards)), bool(done), info
 
     def get_obs(self):
+        self._ensure_started()
         return [np.asarray(o, np.float32).reshape(-1) for o in self._obs]
 
     def get_obs_agent(self, agent_id: int):
@@ -44,6 +51,7 @@ class PyMarlPogema:
         return int(self.get_obs_agent(0).size)
 
     def get_state(self):
+        self._ensure_started()
         return self._env.get_state().astype(np.float32)
 
     def get_state_size(self) -> int:

@@ -31,6 +31,7 @@ plain GEMMs over B*N agents folded into one batch axis.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..grid_config import NUM_ACTIONS
@@ -49,9 +50,6 @@ class EmbedActorCritic(nn.Module):
     embed: int = 256
     hidden: int = 256
     dtype: jnp.dtype = jnp.bfloat16
-    # Stage-2 agent grouping for the fused window einsum (see
-    # ops/windows.batched_extract_windows).
-    window_group: int = 1
 
     def setup(self):
         w = self.window
@@ -88,6 +86,90 @@ class EmbedActorCritic(nn.Module):
         e = (e + bias.astype(jnp.float32)).astype(self.dtype)
         return self._head(e)
 
+    def grid_embed(self, grids):
+        """Precomputed obstacle-channel embedding for EVERY valid window
+        center: f32[B, S*S, E] where S = P - 2r (the logical map size).
+
+        e_grid[b, (x-r)*S + (y-r), :] = sum_{i,j} grids[b, x-r+i, y-r+j]
+        * k_obst[i, j, :] — i.e. a VALID convolution of the padded grid
+        with the first-layer obstacle kernel. Grids are static for a whole
+        rollout (parallel.learner._check_static_maps), so this runs ONCE
+        per rollout / once per minibatch loss instead of per-agent window
+        extraction: the conv has MXU-friendly K = w*w = 121 im2col shape,
+        vs the window einsums' K = 26/11 minor dims that pay ~5-12x tile
+        padding (measured: this path took the 1024x8 fused train step from
+        ~440k to the round-2 number in benchmarks/RESULTS.md).
+        """
+        w = self.window
+        k = self.embed_kernel.astype(self.dtype)[0].reshape(
+            w, w, 1, self.embed
+        )
+        g = grids.astype(self.dtype)[..., None]  # [B, P, P, 1]
+        e = jax.lax.conv_general_dilated(
+            g, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )  # f32[B, S, S, E]
+        s = e.shape[1]
+        return e.reshape(e.shape[0], s * s, self.embed)
+
+    def from_state_pre(self, e_grid, agents_xy, targets_xy, active):
+        """Policy from a precomputed :meth:`grid_embed`.
+
+        e_grid: f32[B, S*S, E]; agents_xy/targets_xy: i32[..., B, N, 2]
+        padded coords (optionally with leading time axes — the env axis
+        must align with e_grid's); active: bool[..., B, N]. Returns
+        (logits f32[..., B, N, 5], value f32[..., B, N]). Computes the
+        same function as :meth:`from_state` (bf16-rounding equivalence is
+        test-gated)."""
+        w = self.window
+        r = w // 2
+        s2 = e_grid.shape[-2]
+        s = int(round(s2 ** 0.5))
+        bias = self.embed_bias
+        kernel = self.embed_kernel.astype(self.dtype)
+        k_agents = kernel[1].reshape(w, w, self.embed)
+        k_target = kernel[2].reshape(w, w, self.embed)
+
+        # obstacle term: one-hot row select out of e_grid (K = S*S —
+        # proper MXU contraction depth, unlike the w-wide window dims).
+        # The tiny i32 cell index (not the fat one-hot) is transposed to
+        # env-major so the einsum is a plain batched [K, S*S]@[S*S, E].
+        cell = (agents_xy[..., 0] - r) * s + (agents_xy[..., 1] - r)
+        tlead = cell.shape[:-2]  # leading time axes (may be empty)
+        b, n = cell.shape[-2], cell.shape[-1]
+        cell_bk = jnp.moveaxis(cell, -2, 0).reshape(b, -1)  # [B, tlead*N]
+        oh = (cell_bk[..., None] == jnp.arange(s2, dtype=jnp.int32)).astype(
+            self.dtype
+        )
+        f32 = jnp.float32
+        e_bk = jnp.einsum(
+            "bks,bsh->bkh", oh, e_grid.astype(self.dtype),
+            preferred_element_type=f32,
+        )
+        e_obst = jnp.moveaxis(
+            e_bk.reshape(b, *tlead, n, self.embed), 0, len(tlead)
+        )
+
+        # agent/target terms: flatten any leading time axes into the
+        # batch for the pairwise helpers.
+        lead = agents_xy.shape[:-2]
+        n = agents_xy.shape[-2]
+        axy = agents_xy.reshape(-1, n, 2)
+        txy = targets_xy.reshape(-1, n, 2)
+        act = active.reshape(-1, n)
+        agents_w = batched_pairwise_agent_windows(axy, act, w, dtype=self.dtype)
+        targ_w = batched_target_onehot(axy, txy, w, dtype=self.dtype)
+        e_rest = (
+            jnp.einsum("bnij,ijh->bnh", agents_w, k_agents,
+                       preferred_element_type=f32)
+            + jnp.einsum("bnij,ijh->bnh", targ_w, k_target,
+                         preferred_element_type=f32)
+        ).reshape(*lead, n, self.embed)
+
+        e = (e_obst + e_rest + bias.astype(f32)).astype(self.dtype)
+        return self._head(e)
+
     def from_state(self, grids, agents_xy, targets_xy, active):
         """Fused path: the obs tensor is never built.
 
@@ -103,9 +185,7 @@ class EmbedActorCritic(nn.Module):
         k_agents = kernel[1].reshape(w, w, self.embed)
         k_target = kernel[2].reshape(w, w, self.embed)
 
-        obst_w = batched_extract_windows(
-            grids, agents_xy, w, dtype=self.dtype, group=self.window_group
-        )
+        obst_w = batched_extract_windows(grids, agents_xy, w, dtype=self.dtype)
         agents_w = batched_pairwise_agent_windows(
             agents_xy, active, w, dtype=self.dtype
         )
@@ -127,12 +207,10 @@ class EmbedActorCritic(nn.Module):
         return self._head(e)
 
 
-def init_embed_params(key, window: int, embed: int = 256, hidden: int = 256,
-                      window_group: int = 1):
+def init_embed_params(key, window: int, embed: int = 256, hidden: int = 256):
     """(model, params) for the fused actor-critic. Initialization goes
     through ``from_state`` so both methods share every parameter."""
-    model = EmbedActorCritic(window=window, embed=embed, hidden=hidden,
-                             window_group=window_group)
+    model = EmbedActorCritic(window=window, embed=embed, hidden=hidden)
     p = window + 3  # any padded size works for shape inference
     grids = jnp.zeros((1, p, p), jnp.uint8)
     xy = jnp.full((1, 1, 2), window // 2, jnp.int32)

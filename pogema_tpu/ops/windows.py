@@ -31,53 +31,39 @@ def _onehot(indices, size, dtype=jnp.bfloat16):
     return (indices[..., None] == iota).astype(dtype)
 
 
-def extract_windows(grid, xy, w: int, dtype=jnp.float32, group: int = 1):
+def extract_windows(grid, xy, w: int, dtype=jnp.float32):
     """Egocentric windows for one env on the MXU.
 
     grid: [P, P] (any numeric dtype; border-padded), xy: i32[N, 2] window
     centers, w: odd window size. Returns dtype[N, w, w] where
     out[n, i, j] = grid[xy[n,0]-r+i, xy[n,1]-r+j].
 
-    Stage 1 (row select) is one well-shaped matmul per env. Stage 2
-    (column select) is where naive batching dies: per-agent [w, P]@[P, w]
-    matmuls are 262k tiny MXU passes at config-C scale (~9 ms measured).
-    Instead agents are processed in groups of ``group``: one
-    [g*w, P]@[P, g*w] matmul per group computes all within-group
-    agent-pair blocks and the diagonal blocks (a regular strided
-    ``jnp.diagonal``) are the windows — g x fewer, far fatter MXU calls
-    at g x flop waste, a large net win (measured ~4x).
+    Two batched einsums: row select [N, w, P]x[P, P], then per-agent
+    column select [N, w, P]x[N, w, P]. Grouping several agents' stage-2
+    selects into one fatter matmul (diagonal [w, w] blocks of a
+    [gw, P]@[P, gw] product) was measured TWICE (r1 on CPU-derived
+    reasoning, r2 on a real v5e: benchmarks/window_group_bench.py) and
+    is 1.2-1.6x WORSE for every g in {2, 4, 8} — XLA's batched-matmul
+    emitter already tiles the gsz=1 shape well, and the g x flop waste
+    plus the diagonal relayout never pays for itself. See docs/DESIGN.md
+    "Negative results"; the former ``group`` knob is deleted.
     """
     p = grid.shape[-1]
-    n = xy.shape[0]
     r = w // 2
     ggrid = grid.astype(jnp.bfloat16)
-    gsz = max(1, min(group, n))
-    n_pad = (-n) % gsz
-    if n_pad:
-        xy = jnp.concatenate(
-            [xy, jnp.full((n_pad, 2), r, xy.dtype)], axis=0
-        )
-    ng = (n + n_pad) // gsz
-
     offs = jnp.arange(w, dtype=jnp.int32) - r
-    rows = xy[:, 0:1] + offs[None, :]  # [N', w]
+    rows = xy[:, 0:1] + offs[None, :]  # [N, w]
     cols = xy[:, 1:2] + offs[None, :]
-    oh_r = _onehot(rows, p)  # [N', w, P]
+    oh_r = _onehot(rows, p)  # [N, w, P]
     oh_c = _onehot(cols, p)
-    # row select: [N'w, P] @ [P, P] -> [N', w, P]
+    # row select: [Nw, P] @ [P, P] -> [N, w, P]
     t1 = jnp.einsum(
         "nip,pq->niq", oh_r, ggrid, preferred_element_type=jnp.float32
     ).astype(jnp.bfloat16)
-    # grouped column select: [ng, gsz*w, P] x [ng, gsz*w, P] -> diag blocks
-    t1g = t1.reshape(ng, gsz * w, p)
-    ohcg = oh_c.reshape(ng, gsz * w, p)
-    big = jnp.einsum(
-        "gip,gjp->gij", t1g, ohcg, preferred_element_type=jnp.float32
-    )  # [ng, gsz*w, gsz*w]
-    blocks = big.reshape(ng, gsz, w, gsz, w)
-    diag = jnp.diagonal(blocks, axis1=1, axis2=3)  # [ng, w, w, gsz]
-    out = jnp.moveaxis(diag, -1, 1).reshape(-1, w, w)
-    return out[:n].astype(dtype)
+    out = jnp.einsum(
+        "niq,njq->nij", t1, oh_c, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
 
 
 def point_lookup(grid, xy):
@@ -99,50 +85,28 @@ def neighborhoods3x3(grid, xy):
     return extract_windows(grid, xy, 3)
 
 
-def batched_extract_windows(grids, xy, w: int, dtype=jnp.bfloat16,
-                            group: int = 1):
+def batched_extract_windows(grids, xy, w: int, dtype=jnp.bfloat16):
     """Egocentric windows with an explicit leading batch axis.
 
     grids: [B, P, P] (each sample has its own grid — B is envs during a
     rollout or shuffled env-step samples during a PPO update), xy:
-    i32[B, N, 2]. Returns dtype[B, N, w, w]. Same one-hot-einsum design as
-    :func:`extract_windows`; ``group`` groups the stage-2 column selects
-    of ``group`` agents of the SAME sample into one fatter matmul (the
-    diagonal [w, w] blocks are the windows) — re-measured round 2, see
-    docs/DESIGN.md "Negative results" before changing the default.
+    i32[B, N, 2]. Returns dtype[B, N, w, w]. Same one-hot-einsum design
+    as :func:`extract_windows` (and the same hardware-measured verdict
+    on stage-2 grouping: always worse, knob deleted).
     """
-    b, n = xy.shape[0], xy.shape[1]
     p = grids.shape[-1]
     r = w // 2
     g = grids.astype(jnp.bfloat16)
-    gsz = max(1, min(group, n))
-    n_pad = (-n) % gsz
-    if n_pad:
-        xy = jnp.concatenate(
-            [xy, jnp.full((b, n_pad, 2), r, xy.dtype)], axis=1
-        )
-    ng = (n + n_pad) // gsz
-
     offs = jnp.arange(w, dtype=jnp.int32) - r
-    oh_r = _onehot(xy[..., 0:1] + offs, p)  # [B, N', w, P]
+    oh_r = _onehot(xy[..., 0:1] + offs, p)  # [B, N, w, P]
     oh_c = _onehot(xy[..., 1:2] + offs, p)
     t1 = jnp.einsum(
         "bnip,bpq->bniq", oh_r, g, preferred_element_type=jnp.float32
     ).astype(jnp.bfloat16)
-    if gsz == 1:
-        out = jnp.einsum(
-            "bniq,bnjq->bnij", t1, oh_c, preferred_element_type=jnp.float32
-        )
-    else:
-        t1g = t1.reshape(b, ng, gsz * w, p)
-        ohcg = oh_c.reshape(b, ng, gsz * w, p)
-        big = jnp.einsum(
-            "bgip,bgjp->bgij", t1g, ohcg, preferred_element_type=jnp.float32
-        )
-        blocks = big.reshape(b, ng, gsz, w, gsz, w)
-        diag = jnp.diagonal(blocks, axis1=2, axis2=4)  # [B, ng, w, w, gsz]
-        out = jnp.moveaxis(diag, -1, 2).reshape(b, -1, w, w)
-    return out[:, :n].astype(dtype)
+    out = jnp.einsum(
+        "bniq,bnjq->bnij", t1, oh_c, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
 
 
 def batched_pairwise_agent_windows(xy, active, w: int, dtype=jnp.bfloat16):

@@ -216,17 +216,27 @@ def make_fused_train_step(core, model, config: PPOConfig, tx):
 
         def epoch(carry, _):
             params, opt_state, key = carry
-            key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, n)
-            shuffled = jax.tree.map(lambda x: x[perm], dataset)
-            ids_shuffled = env_ids[perm]
+            key, k_roll = jax.random.split(key)
+            # Roll + stride partition instead of a row-permutation gather:
+            # x[perm] over [T*B, ...] serializes on TPU (~25 ms/epoch at
+            # 64x1024 — gathers are poison, ops/windows.py). jnp.roll is a
+            # relayout, and the [mb, M] reshape puts row r in minibatch
+            # (r - shift) % M — every minibatch interleaves all timesteps
+            # and envs, reshuffled each epoch by the random shift.
+            shift = jax.random.randint(k_roll, (), 0, n)
+            mix = lambda x: jnp.roll(x, shift, axis=0).reshape(
+                (mb, config.minibatches) + x.shape[1:]
+            )
+            shuffled = jax.tree.map(mix, dataset)
+            ids_shuffled = mix(env_ids)
 
             def minibatch(carry, i):
                 params, opt_state = carry
                 batch = jax.tree.map(
-                    lambda x: lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
+                    lambda x: lax.dynamic_slice_in_dim(x, i, 1, axis=1)[:, 0],
+                    shuffled,
                 )
-                ids = lax.dynamic_slice_in_dim(ids_shuffled, i * mb, mb)
+                ids = lax.dynamic_slice_in_dim(ids_shuffled, i, 1, axis=1)[:, 0]
                 # One-hot matmul grid selection (TPU gathers serialize).
                 onehot = (ids[:, None] == iota_b[None, :]).astype(jnp.bfloat16)
                 grids_mb = (onehot @ grids_flat).reshape(mb, p, p)
@@ -319,14 +329,20 @@ def make_train_step(core, model, config: PPOConfig, tx):
 
         def epoch(carry, _):
             params, opt_state, key = carry
-            key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, n)
-            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+            key, k_roll = jax.random.split(key)
+            # Roll + stride partition, not a row-permutation gather (see
+            # make_fused_train_step.epoch for the rationale).
+            shift = jax.random.randint(k_roll, (), 0, n)
+            mix = lambda x: jnp.roll(x, shift, axis=0).reshape(
+                (mb, config.minibatches) + x.shape[1:]
+            )
+            shuffled = jax.tree.map(mix, dataset)
 
             def minibatch(carry, i):
                 params, opt_state = carry
                 batch = jax.tree.map(
-                    lambda x: lax.dynamic_slice_in_dim(x, i * mb, mb), shuffled
+                    lambda x: lax.dynamic_slice_in_dim(x, i, 1, axis=1)[:, 0],
+                    shuffled,
                 )
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, batch

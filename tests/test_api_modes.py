@@ -27,17 +27,6 @@ def test_extract_windows_matches_slicing():
         assert np.array_equal(out[i], ref), i
 
 
-@pytest.mark.parametrize("group", [1, 2, 4, 8])
-def test_extract_windows_grouped(group):
-    rng = np.random.default_rng(1)
-    p, n, w = 16, 6, 3  # n not divisible by 4 -> padding path
-    grid = rng.integers(0, 2, size=(p, p)).astype(np.uint8)
-    xy = rng.integers(1, p - 2, size=(n, 2)).astype(np.int32)
-    base = np.asarray(extract_windows(grid, xy, w, group=1))
-    got = np.asarray(extract_windows(grid, xy, w, group=group))
-    assert np.array_equal(base, got)
-
-
 def test_point_lookup():
     rng = np.random.default_rng(2)
     grid = rng.integers(0, 2, size=(12, 12)).astype(np.uint8)

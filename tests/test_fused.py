@@ -46,12 +46,6 @@ def test_batched_window_ops_match_unbatched():
     )
     np.testing.assert_array_equal(np.asarray(per_env), np.asarray(batched))
 
-    for group in (2, 3, 6):
-        grouped = W.batched_extract_windows(
-            state.obstacles, state.agents_xy, w, dtype=jnp.float32, group=group
-        )
-        np.testing.assert_array_equal(np.asarray(per_env), np.asarray(grouped))
-
     per_env_a = jax.vmap(lambda xy, act: W.pairwise_agent_windows(xy, act, w))(
         state.agents_xy, state.active
     )
@@ -80,19 +74,43 @@ def test_from_state_equals_obs_path(on_target):
     )
 
 
-def test_from_state_grouped_matches_ungrouped():
-    core, state, _ = _random_state(seed=5)
+@pytest.mark.parametrize("time_axis", [False, True])
+def test_from_state_pre_equals_from_state(time_axis):
+    """grid_embed + from_state_pre (obstacle term precomputed as a VALID
+    conv of the grid) must match from_state up to bf16 rounding, with and
+    without a leading time axis on the agent coords."""
+    core, state, _ = _random_state(on_target="restart", seed=9)
     w = core.cfg.window
-    model1, params = init_embed_params(jax.random.key(0), w, embed=64, hidden=64)
-    model2 = EmbedActorCritic(window=w, embed=64, hidden=64, window_group=3)
-    l1, v1 = model1.apply(params, state.obstacles, state.agents_xy,
-                          state.targets_xy, state.active,
-                          method=EmbedActorCritic.from_state)
-    l2, v2 = model2.apply(params, state.obstacles, state.agents_xy,
-                          state.targets_xy, state.active,
-                          method=EmbedActorCritic.from_state)
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=2e-3)
+    model, params = init_embed_params(jax.random.key(0), w, embed=64, hidden=64)
+
+    e_grid = model.apply(params, state.obstacles,
+                         method=EmbedActorCritic.grid_embed)
+
+    if time_axis:
+        axy = jnp.stack([state.agents_xy, state.agents_xy + 0], axis=0)
+        txy = jnp.stack([state.targets_xy, state.targets_xy], axis=0)
+        act = jnp.stack([state.active, state.active], axis=0)
+    else:
+        axy, txy, act = state.agents_xy, state.targets_xy, state.active
+
+    logits_pre, value_pre = model.apply(
+        params, e_grid, axy, txy, act,
+        method=EmbedActorCritic.from_state_pre,
+    )
+    logits_st, value_st = model.apply(
+        params, state.obstacles, state.agents_xy, state.targets_xy,
+        state.active, method=EmbedActorCritic.from_state,
+    )
+    if time_axis:
+        np.testing.assert_array_equal(np.asarray(logits_pre[0]),
+                                      np.asarray(logits_pre[1]))
+        logits_pre, value_pre = logits_pre[0], value_pre[0]
+    np.testing.assert_allclose(
+        np.asarray(logits_st), np.asarray(logits_pre), atol=4e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(value_st), np.asarray(value_pre), atol=4e-3
+    )
 
 
 def _fused_setup(on_target="restart", mode="regen", num_envs=8,
