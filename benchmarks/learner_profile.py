@@ -94,50 +94,71 @@ def main():
                       "env_steps_per_s": round(denom / dt),
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
+    # 2b. rollout with the precomputed-grid-embedding policy
+    def apply_pre(params, e_grid, axy, txy, active):
+        return model.apply(params, e_grid, axy, txy, active,
+                           method=type(model).from_state_pre)
+
+    def grid_embed(params, grids):
+        return model.apply(params, grids, method=type(model).grid_embed)
+
+    rollout_pre = jax.jit(
+        make_state_rollout_fn(core, apply_pre, T, make_ctx=grid_embed)
+    )
+    dt = timeit(lambda: rollout_pre(ts.params, ts.env_state,
+                                    ts.initial_env_state, ts.key)[2].rewards)
+    print(json.dumps({"stage": "rollout_policy_pre",
+                      "env_steps_per_s": round(denom / dt),
+                      "ms": round(dt * 1e3, 2)}), flush=True)
+
     # 3. full train step
     train_step = jax.jit(make_fused_train_step(core, model, ppo, tx))
     dt = timeit(lambda: train_step(ts)[1]["loss"])
     print(json.dumps({"stage": "train_step", "env_steps_per_s": round(denom / dt),
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
-    # 4. decompose the update: epoch shuffle (row gathers) vs one
-    # minibatch grad step, on the exact dataset shapes.
+    # 4. decompose the update at the REAL minibatch shapes of the 'pre'
+    # path: roll-mix of the [T, B, ...] dataset vs one minibatch grad.
     n_agents = args.agents
-    n = T * B
-    mb = n // args.minibatches
+    tsub = T // args.minibatches
     dataset = (
-        jnp.zeros((n, n_agents, 2), jnp.int32),   # agents_xy
-        jnp.zeros((n, n_agents, 2), jnp.int32),   # targets_xy
-        jnp.ones((n, n_agents), bool),            # active
-        jnp.zeros((n, n_agents), jnp.int32),      # actions
-        jnp.zeros((n, n_agents), jnp.float32),    # log_probs
-        jnp.ones((n, n_agents), jnp.float32),     # advantages
-        jnp.ones((n, n_agents), jnp.float32),     # targets
+        jnp.zeros((T, B, n_agents, 2), jnp.int32),   # agents_xy
+        jnp.zeros((T, B, n_agents, 2), jnp.int32),   # targets_xy
+        jnp.ones((T, B, n_agents), bool),            # active
+        jnp.zeros((T, B, n_agents), jnp.int32),      # actions
+        jnp.zeros((T, B, n_agents), jnp.float32),    # log_probs
+        jnp.ones((T, B, n_agents), jnp.float32),     # advantages
+        jnp.ones((T, B, n_agents), jnp.float32),     # targets
     )
 
     @jax.jit
-    def shuffle(key, dataset):
-        perm = jax.random.permutation(key, n)
-        return jax.tree.map(lambda x: x[perm], dataset)
+    def roll_mix(key, dataset):
+        shift = jax.random.randint(key, (), 0, T)
+        return jax.tree.map(
+            lambda x: jnp.roll(x, shift, axis=0).reshape(
+                (tsub, args.minibatches) + x.shape[1:]
+            ),
+            dataset,
+        )
 
-    dt = timeit(shuffle, jax.random.key(3), dataset)
-    print(json.dumps({"stage": "epoch_shuffle_gather", "ms": round(dt * 1e3, 2),
+    dt = timeit(roll_mix, jax.random.key(3), dataset)
+    print(json.dumps({"stage": "epoch_roll_mix", "ms": round(dt * 1e3, 2),
                       "per_train_step_ms": round(dt * 1e3 * args.epochs, 2)}),
           flush=True)
 
-    p = ts.env_state.obstacles.shape[-1]
-    grids_mb = jnp.zeros((mb, p, p), jnp.bfloat16)
-    batch = jax.tree.map(lambda x: x[:mb], dataset)
+    grids = ts.env_state.obstacles
+    batch = jax.tree.map(lambda x: x[:tsub], dataset)
 
     def loss_fn(params):
-        logits, values = apply_state(params, grids_mb, batch[0], batch[1],
-                                     batch[2])
+        e_grid = grid_embed(params, grids)
+        logits, values = apply_pre(params, e_grid, batch[0], batch[1],
+                                   batch[2])
         return jnp.mean(logits) + jnp.mean(values)
 
     grad = jax.jit(jax.grad(loss_fn))
     dt = timeit(grad, ts.params)
     per_step = dt * args.epochs * args.minibatches
-    print(json.dumps({"stage": "grad_minibatch", "ms": round(dt * 1e3, 2),
+    print(json.dumps({"stage": "grad_minibatch_pre", "ms": round(dt * 1e3, 2),
                       "per_train_step_ms": round(per_step * 1e3, 2)}),
           flush=True)
 

@@ -64,15 +64,20 @@ class EmbedActorCritic(nn.Module):
             "embed_bias", nn.initializers.zeros, (self.embed,)
         )
         self.trunk = nn.Dense(self.hidden, dtype=self.dtype, name="trunk")
-        self.policy = nn.Dense(NUM_ACTIONS, dtype=jnp.float32, name="policy")
-        self.value = nn.Dense(1, dtype=jnp.float32, name="value")
+        # Policy logits and value share ONE output GEMM (cols 0..A-1 are
+        # logits, col A the value): on the rollout hot path every extra
+        # op is ~15-20 us of launch+latency at B=1024 (the step is
+        # op-count-bound, benchmarks/policy_step_probe.py), and the math
+        # is identical to separate Dense(A)/Dense(1) with the same
+        # fan-in init.
+        self.head_out = nn.Dense(NUM_ACTIONS + 1, dtype=jnp.float32,
+                                 name="head_out")
 
     def _head(self, e):
         x = nn.relu(e)
         x = nn.relu(self.trunk(x))
-        logits = self.policy(x)
-        value = self.value(x)
-        return logits, jnp.squeeze(value, -1)
+        o = self.head_out(x)
+        return o[..., :NUM_ACTIONS], o[..., NUM_ACTIONS]
 
     def __call__(self, obs):
         """obs: f32/bf16[..., 3, W, W] (channels obstacle/agents/target).
@@ -88,35 +93,36 @@ class EmbedActorCritic(nn.Module):
 
     def grid_embed(self, grids):
         """Precomputed obstacle-channel embedding for EVERY valid window
-        center: f32[B, S*S, E] where S = P - 2r (the logical map size).
+        center: dtype[B, Sr, Sc, E] where (Sr, Sc) = (Pr-2r, Pc-2r) is
+        the logical (unpadded, possibly rectangular) map shape.
 
-        e_grid[b, (x-r)*S + (y-r), :] = sum_{i,j} grids[b, x-r+i, y-r+j]
+        e_grid[b, x-r, y-r, :] = sum_{i,j} grids[b, x-r+i, y-r+j]
         * k_obst[i, j, :] — i.e. a VALID convolution of the padded grid
         with the first-layer obstacle kernel. Grids are static for a whole
         rollout (parallel.learner._check_static_maps), so this runs ONCE
         per rollout / once per minibatch loss instead of per-agent window
         extraction: the conv has MXU-friendly K = w*w = 121 im2col shape,
         vs the window einsums' K = 26/11 minor dims that pay ~5-12x tile
-        padding (measured: this path took the 1024x8 fused train step from
-        ~440k to the round-2 number in benchmarks/RESULTS.md).
+        padding (measured numbers in benchmarks/RESULTS.md "Learner path").
         """
         w = self.window
         k = self.embed_kernel.astype(self.dtype)[0].reshape(
             w, w, 1, self.embed
         )
-        g = grids.astype(self.dtype)[..., None]  # [B, P, P, 1]
-        e = jax.lax.conv_general_dilated(
+        g = grids.astype(self.dtype)[..., None]  # [B, Pr, Pc, 1]
+        # bf16 in -> bf16 out (the MXU still accumulates f32 internally;
+        # from_state_pre re-rounds to self.dtype before the select
+        # anyway, and an f32 preferred_element_type here breaks the conv
+        # transpose rule's dtype match under grad).
+        return jax.lax.conv_general_dilated(
             g, k, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )  # f32[B, S, S, E]
-        s = e.shape[1]
-        return e.reshape(e.shape[0], s * s, self.embed)
+        )  # dtype[B, Sr, Sc, E]
 
     def from_state_pre(self, e_grid, agents_xy, targets_xy, active):
         """Policy from a precomputed :meth:`grid_embed`.
 
-        e_grid: f32[B, S*S, E]; agents_xy/targets_xy: i32[..., B, N, 2]
+        e_grid: f32[B, Sr, Sc, E]; agents_xy/targets_xy: i32[..., B, N, 2]
         padded coords (optionally with leading time axes — the env axis
         must align with e_grid's); active: bool[..., B, N]. Returns
         (logits f32[..., B, N, 5], value f32[..., B, N]). Computes the
@@ -124,18 +130,17 @@ class EmbedActorCritic(nn.Module):
         test-gated)."""
         w = self.window
         r = w // 2
-        s2 = e_grid.shape[-2]
-        s = int(round(s2 ** 0.5))
+        sr, sc = e_grid.shape[-3], e_grid.shape[-2]
+        s2 = sr * sc
+        e_grid = e_grid.reshape(e_grid.shape[0], s2, self.embed)
         bias = self.embed_bias
-        kernel = self.embed_kernel.astype(self.dtype)
-        k_agents = kernel[1].reshape(w, w, self.embed)
-        k_target = kernel[2].reshape(w, w, self.embed)
+        kernel = self.embed_kernel.astype(self.dtype)  # [3, w*w, E]
 
-        # obstacle term: one-hot row select out of e_grid (K = S*S —
+        # obstacle term: one-hot row select out of e_grid (K = Sr*Sc —
         # proper MXU contraction depth, unlike the w-wide window dims).
         # The tiny i32 cell index (not the fat one-hot) is transposed to
-        # env-major so the einsum is a plain batched [K, S*S]@[S*S, E].
-        cell = (agents_xy[..., 0] - r) * s + (agents_xy[..., 1] - r)
+        # env-major so the einsum is a plain batched [K, Sr*Sc]@[Sr*Sc, E].
+        cell = (agents_xy[..., 0] - r) * sc + (agents_xy[..., 1] - r)
         tlead = cell.shape[:-2]  # leading time axes (may be empty)
         b, n = cell.shape[-2], cell.shape[-1]
         cell_bk = jnp.moveaxis(cell, -2, 0).reshape(b, -1)  # [B, tlead*N]
@@ -151,20 +156,41 @@ class EmbedActorCritic(nn.Module):
             e_bk.reshape(b, *tlead, n, self.embed), 0, len(tlead)
         )
 
-        # agent/target terms: flatten any leading time axes into the
-        # batch for the pairwise helpers.
+        # agent + target terms in ONE flat-offset one-hot einsum: each
+        # (agent, neighbor) pair and the own-goal projection become a row
+        # index into a stacked [2*w*w, E] kernel table (agents rows then
+        # target rows), so the [B, N, w, w] window intermediates and
+        # their separate einsums never exist — the step is op-count
+        # bound, not FLOP bound (benchmarks/policy_step_probe.py).
         lead = agents_xy.shape[:-2]
         n = agents_xy.shape[-2]
         axy = agents_xy.reshape(-1, n, 2)
         txy = targets_xy.reshape(-1, n, 2)
         act = active.reshape(-1, n)
-        agents_w = batched_pairwise_agent_windows(axy, act, w, dtype=self.dtype)
-        targ_w = batched_target_onehot(axy, txy, w, dtype=self.dtype)
-        e_rest = (
-            jnp.einsum("bnij,ijh->bnh", agents_w, k_agents,
-                       preferred_element_type=f32)
-            + jnp.einsum("bnij,ijh->bnh", targ_w, k_target,
-                         preferred_element_type=f32)
+        w2 = w * w
+        dxy = axy[:, None, :, :] - axy[:, :, None, :] + r  # [Bf, N, M, 2]
+        # valid &-mask kills out-of-window pairs BEFORE the flat index
+        # can alias (dx in range with dy out of range lands on a
+        # different (dx', dy') row otherwise); inactive neighbors are
+        # invisible, self (dx=dy=0) is included — same semantics as
+        # ops.windows.batched_pairwise_agent_windows.
+        valid = (
+            ((dxy >= 0) & (dxy < w)).all(-1) & act[:, None, :]
+        )
+        q_ag = dxy[..., 0] * w + dxy[..., 1]  # [Bf, N, N]
+        rel = jnp.clip(txy - axy, -r, r) + r  # border projection
+        q_tg = w2 + rel[..., 0] * w + rel[..., 1]  # [Bf, N]
+        q = jnp.concatenate([q_ag, q_tg[:, :, None]], axis=2)
+        vmask = jnp.concatenate(
+            [valid, jnp.ones(q_tg.shape + (1,), bool)], axis=2
+        )
+        oh = (
+            (q[..., None] == jnp.arange(2 * w2, dtype=jnp.int32))
+            & vmask[..., None]
+        ).astype(self.dtype)  # [Bf, N, N+1, 2*w*w]
+        table = jnp.concatenate([kernel[1], kernel[2]], axis=0)  # [2w², E]
+        e_rest = jnp.einsum(
+            "bnmq,qh->bnh", oh, table, preferred_element_type=f32
         ).reshape(*lead, n, self.embed)
 
         e = (e_obst + e_rest + bias.astype(f32)).astype(self.dtype)

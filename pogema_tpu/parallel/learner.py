@@ -34,6 +34,12 @@ class PPOConfig:
     rollout_steps: int = 128
     epochs: int = 2
     minibatches: int = 4
+    # Fused-path obstacle-term strategy: 'pre' precomputes the grid
+    # embedding as a VALID conv and row-selects it (fast for small/medium
+    # maps; needs rollout_steps % minibatches == 0), 'windows' extracts
+    # per-agent windows (no constraints, scales to huge maps), 'auto'
+    # picks by an f32[B, S, S, E] memory estimate.
+    obstacle_path: str = flax.struct.field(pytree_node=False, default="auto")
 
 
 @flax.struct.dataclass
@@ -136,44 +142,120 @@ def _check_static_maps(core, config: PPOConfig):
     )
 
 
+def _ppo_loss_terms(config: PPOConfig, logits, values, actions,
+                    old_log_probs, advantages, targets):
+    """Clipped-surrogate PPO loss from policy outputs; shared by every
+    train-step flavor."""
+    log_probs_all = jax.nn.log_softmax(logits)
+    # One-hot select, not take_along_axis: gathers serialize on TPU.
+    act_oh = actions[..., None] == jnp.arange(
+        logits.shape[-1], dtype=actions.dtype
+    )
+    log_probs = jnp.sum(log_probs_all * act_oh, axis=-1)
+    ratio = jnp.exp(log_probs - old_log_probs)
+    adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+    pg1 = ratio * adv
+    pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
+    pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+    v_loss = 0.5 * jnp.mean((values - targets) ** 2)
+    entropy = -jnp.mean(
+        jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
+    )
+    total = pg_loss + config.vf_coef * v_loss - config.entropy_coef * entropy
+    return total, (pg_loss, v_loss, entropy)
+
+
+def _train_stats(stats, traj):
+    loss, pg, vl, ent = (s.mean() for s in stats)
+    out = {
+        "loss": loss,
+        "pg_loss": pg,
+        "v_loss": vl,
+        "entropy": ent,
+        "reward_per_step": traj.rewards.mean(),
+    }
+    # Episode metrics averaged over the episodes that ENDED during the
+    # rollout (the mask is traj.env_dones); NaN-free when none ended.
+    done_f = traj.env_dones.astype(jnp.float32)
+    denom = jnp.maximum(done_f.sum(), 1.0)
+    for k, v in traj.metrics.items():
+        out[f"episode_{k}"] = (v * done_f).sum() / denom
+    out["episodes_finished"] = done_f.sum()
+    return out
+
+
 def make_fused_train_step(core, model, config: PPOConfig, tx):
     """PPO train step on the fused, obs-free path (VERDICT r1 item 1).
 
     vs :func:`make_train_step`: the rollout stores compact state instead
     of observations (~360x less trajectory HBM), and the update
-    recomputes the policy input by contracting window one-hots directly
-    against the first-layer weights (EmbedActorCritic.from_state) — the
-    obs tensor and its ~12x tile padding never exist. Minibatches shuffle
-    at env-step granularity (all N agents of a sampled (t, b) stay
-    together so they share one grid row); per-minibatch grids are
-    selected from the [B, P, P] batch by a one-hot matmul, not a gather.
+    recomputes the policy input from state + the per-env static grids —
+    the obs tensor and its ~12x tile padding never exist.
+
+    Two obstacle-term strategies (``config.obstacle_path``):
+
+    * 'pre' — the grid embedding is precomputed as ONE VALID conv
+      (EmbedActorCritic.grid_embed: MXU-friendly K = w*w im2col) per
+      rollout / per minibatch loss, and per-agent reads become one-hot
+      row selects with contraction depth Sr*Sc. Minibatches slice the
+      TIME axis (all B envs present in each), so grids stay aligned with
+      the env axis — no per-row grid selection at all, and the 'data'
+      sharding of B survives every reshape. Needs
+      rollout_steps % minibatches == 0.
+    * 'windows' — per-agent window extraction (ops/windows.py) with
+      env-step-granularity minibatches; per-minibatch grids selected by
+      a one-hot matmul (TPU gathers serialize). No constraints; the
+      e_grid tensor never exists, so it scales to huge maps.
     """
     _check_static_maps(core, config)
+    mcls = type(model)
 
     def apply_state(params, grids, axy, txy, active):
         return model.apply(params, grids, axy, txy, active,
-                           method=type(model).from_state)
+                           method=mcls.from_state)
+
+    def apply_pre(params, e_grid, axy, txy, active):
+        return model.apply(params, e_grid, axy, txy, active,
+                           method=mcls.from_state_pre)
+
+    def grid_embed(params, grids):
+        return model.apply(params, grids, method=mcls.grid_embed)
+
+    time_mb = config.rollout_steps % config.minibatches == 0
+    if config.obstacle_path == "pre":
+        if not time_mb:
+            raise ValueError(
+                "obstacle_path='pre' needs rollout_steps divisible by "
+                f"minibatches (got {config.rollout_steps} % "
+                f"{config.minibatches})"
+            )
+        use_pre = True
+    elif config.obstacle_path == "windows":
+        use_pre = False
+    elif config.obstacle_path == "auto":
+        # f32[B, S, S, E] must fit comfortably (it exists during the
+        # rollout and once per minibatch grad).
+        s_est = core.cfg.size
+        pre_bytes = core.num_envs * s_est * s_est * model.embed * 4
+        use_pre = time_mb and pre_bytes <= 1_500_000_000
+    else:
+        raise ValueError(
+            f"unknown obstacle_path {config.obstacle_path!r} "
+            "(expected 'auto', 'pre' or 'windows')"
+        )
+
+    if use_pre:
+        return _make_fused_pre_train_step(
+            core, config, tx, apply_pre, grid_embed
+        )
 
     rollout = make_state_rollout_fn(core, apply_state, config.rollout_steps)
 
     def loss_fn(params, grids_mb, batch):
         axy, txy, active, actions, old_log_probs, advantages, targets = batch
         logits, values = apply_state(params, grids_mb, axy, txy, active)
-        log_probs_all = jax.nn.log_softmax(logits)
-        log_probs = jnp.take_along_axis(
-            log_probs_all, actions[..., None], axis=-1
-        )[..., 0]
-        ratio = jnp.exp(log_probs - old_log_probs)
-        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-        pg1 = ratio * adv
-        pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
-        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-        v_loss = 0.5 * jnp.mean((values - targets) ** 2)
-        entropy = -jnp.mean(
-            jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
-        )
-        total = pg_loss + config.vf_coef * v_loss - config.entropy_coef * entropy
-        return total, (pg_loss, v_loss, entropy)
+        return _ppo_loss_terms(config, logits, values, actions,
+                               old_log_probs, advantages, targets)
 
     def train_step(ts: TrainState):
         # Valid for every transition of this rollout (static-map check).
@@ -261,20 +343,99 @@ def make_fused_train_step(core, model, config: PPOConfig, tx):
             env_state=env_state,
             key=key,
         )
-        loss, pg, vl, ent = (s.mean() for s in stats)
-        out = {
-            "loss": loss,
-            "pg_loss": pg,
-            "v_loss": vl,
-            "entropy": ent,
-            "reward_per_step": traj.rewards.mean(),
-        }
-        done_f = traj.env_dones.astype(jnp.float32)
-        denom = jnp.maximum(done_f.sum(), 1.0)
-        for k, v in traj.metrics.items():
-            out[f"episode_{k}"] = (v * done_f).sum() / denom
-        out["episodes_finished"] = done_f.sum()
-        return new_ts, out
+        return new_ts, _train_stats(stats, traj)
+
+    return train_step
+
+
+def _make_fused_pre_train_step(core, config: PPOConfig, tx, apply_pre,
+                               grid_embed):
+    """The 'pre' flavor of :func:`make_fused_train_step` (see there)."""
+    rollout = make_state_rollout_fn(
+        core, apply_pre, config.rollout_steps, make_ctx=grid_embed
+    )
+
+    def loss_fn(params, grids, batch):
+        axy, txy, active, actions, old_log_probs, advantages, targets = batch
+        # Recomputed per minibatch so the gradient w.r.t. the obstacle
+        # kernel flows through the conv (one cheap VALID conv over the B
+        # static grids — NOT per row).
+        e_grid = grid_embed(params, grids)
+        logits, values = apply_pre(params, e_grid, axy, txy, active)
+        return _ppo_loss_terms(config, logits, values, actions,
+                               old_log_probs, advantages, targets)
+
+    def train_step(ts: TrainState):
+        # Valid for every transition of this rollout (static-map check).
+        grids = ts.env_state.obstacles
+
+        env_state, key, traj = rollout(
+            ts.params, ts.env_state, ts.initial_env_state, ts.key
+        )
+        # Bootstrap values come from the post-rollout state, whose maps
+        # may already be regenerated ('regen' auto-reset fires exactly on
+        # the rollout boundary) — embed ITS grids, not the rollout's.
+        _, last_values = apply_pre(
+            ts.params, grid_embed(ts.params, env_state.obstacles),
+            env_state.agents_xy, env_state.targets_xy, env_state.active,
+        )
+        advantages, targets = compute_gae(
+            traj, last_values, config.gamma, config.gae_lambda
+        )
+
+        # Dataset stays [T, B, ...]: minibatches are strided slices of
+        # the TIME axis (every env in every minibatch), reshuffled per
+        # epoch by a random roll — no row gathers, no grid re-selection,
+        # and the 'data' sharding of B is never reshaped away.
+        t_steps = traj.actions.shape[0]
+        tsub = t_steps // config.minibatches
+        dataset = (
+            traj.agents_xy,
+            traj.targets_xy,
+            traj.active,
+            traj.actions,
+            traj.log_probs,
+            advantages,
+            targets,
+        )
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_roll = jax.random.split(key)
+            shift = jax.random.randint(k_roll, (), 0, t_steps)
+            mix = lambda x: jnp.roll(x, shift, axis=0).reshape(
+                (tsub, config.minibatches) + x.shape[1:]
+            )
+            shuffled = jax.tree.map(mix, dataset)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: lax.dynamic_slice_in_dim(x, i, 1, axis=1)[:, 0],
+                    shuffled,
+                )
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, grids, batch
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), stats = lax.scan(
+                minibatch, (params, opt_state), jnp.arange(config.minibatches)
+            )
+            return (params, opt_state, key), stats
+
+        (params, opt_state, key), stats = lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=config.epochs
+        )
+        new_ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            key=key,
+        )
+        return new_ts, _train_stats(stats, traj)
 
     return train_step
 
@@ -287,21 +448,8 @@ def make_train_step(core, model, config: PPOConfig, tx):
     def loss_fn(params, batch):
         obs, actions, old_log_probs, advantages, targets = batch
         logits, values = apply_fn(params, obs)
-        log_probs_all = jax.nn.log_softmax(logits)
-        log_probs = jnp.take_along_axis(
-            log_probs_all, actions[..., None], axis=-1
-        )[..., 0]
-        ratio = jnp.exp(log_probs - old_log_probs)
-        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-        pg1 = ratio * adv
-        pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
-        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-        v_loss = 0.5 * jnp.mean((values - targets) ** 2)
-        entropy = -jnp.mean(
-            jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
-        )
-        total = pg_loss + config.vf_coef * v_loss - config.entropy_coef * entropy
-        return total, (pg_loss, v_loss, entropy)
+        return _ppo_loss_terms(config, logits, values, actions,
+                               old_log_probs, advantages, targets)
 
     def train_step(ts: TrainState):
         env_state, obs, key, traj = rollout(
@@ -366,21 +514,6 @@ def make_train_step(core, model, config: PPOConfig, tx):
             obs=obs,
             key=key,
         )
-        loss, pg, vl, ent = (s.mean() for s in stats)
-        out = {
-            "loss": loss,
-            "pg_loss": pg,
-            "v_loss": vl,
-            "entropy": ent,
-            "reward_per_step": traj.rewards.mean(),
-        }
-        # Episode metrics averaged over the episodes that ENDED during the
-        # rollout (the mask is traj.env_dones); NaN-free when none ended.
-        done_f = traj.env_dones.astype(jnp.float32)
-        denom = jnp.maximum(done_f.sum(), 1.0)
-        for k, v in traj.metrics.items():
-            out[f"episode_{k}"] = (v * done_f).sum() / denom
-        out["episodes_finished"] = done_f.sum()
-        return new_ts, out
+        return new_ts, _train_stats(stats, traj)
 
     return train_step

@@ -12,6 +12,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def log_prob_of(logits, actions):
+    """log pi(a|s) per agent via a one-hot sum over the tiny action dim:
+    ``take_along_axis`` is a gather, and gathers serialize on TPU
+    (measured ~100 us/step at B=1024 in benchmarks/policy_step_probe.py).
+    """
+    oh = actions[..., None] == jnp.arange(
+        logits.shape[-1], dtype=actions.dtype
+    )
+    return jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1)
+
+
 @flax.struct.dataclass
 class Transition:
     obs: jnp.ndarray  # f32[T, B, N, 3, W, W]
@@ -48,24 +59,35 @@ class StateTransition:
     metrics: dict  # f32[T, B] each, valid where env_dones
 
 
-def make_state_rollout_fn(core, apply_state, num_steps: int):
+def make_state_rollout_fn(core, apply_state, num_steps: int, make_ctx=None,
+                          unroll: int = 1):
     """Obs-free rollout: the policy reads EnvState directly through the
     fused embedding (EmbedActorCritic.from_state); observation assembly
     is skipped in the env step too. Returns rollout(params, env_state,
-    initial_state, key) -> (env_state, key, StateTransition)."""
+    initial_state, key) -> (env_state, key, StateTransition).
+
+    With ``make_ctx``, a per-rollout context (the precomputed grid
+    embedding, EmbedActorCritic.grid_embed — sound because maps are
+    static for the whole rollout, parallel.learner._check_static_maps)
+    is built ONCE from the initial grids and fed to ``apply_state(params,
+    ctx, axy, txy, active)`` every step, hoisting the grid-dependent work
+    out of the scan entirely."""
     step_auto = core._make_step_auto(with_obs=False)
 
     def rollout(params, env_state, initial_state, key):
+        ctx = None if make_ctx is None else make_ctx(
+            params, env_state.obstacles
+        )
+
         def one(carry, _):
             s, key = carry
             key, k_act = jax.random.split(key)
+            grid_in = s.obstacles if make_ctx is None else ctx
             logits, values = apply_state(
-                params, s.obstacles, s.agents_xy, s.targets_xy, s.active
+                params, grid_in, s.agents_xy, s.targets_xy, s.active
             )
             actions = jax.random.categorical(k_act, logits)
-            log_probs = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), actions[..., None], axis=-1
-            )[..., 0]
+            log_probs = log_prob_of(logits, actions)
             new_state, _, res, env_done, metrics = step_auto(
                 s, initial_state, actions
             )
@@ -84,7 +106,7 @@ def make_state_rollout_fn(core, apply_state, num_steps: int):
             return (new_state, key), tr
 
         (env_state, key), traj = lax.scan(
-            one, (env_state, key), None, length=num_steps
+            one, (env_state, key), None, length=num_steps, unroll=unroll
         )
         return env_state, key, traj
 
@@ -103,9 +125,7 @@ def make_rollout_fn(core, apply_fn, num_steps: int):
             key, k_act = jax.random.split(key)
             logits, values = apply_fn(params, obs)
             actions = jax.random.categorical(k_act, logits)
-            log_probs = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), actions[..., None], axis=-1
-            )[..., 0]
+            log_probs = log_prob_of(logits, actions)
             new_state, new_obs, res, env_done, metrics = step_auto(
                 env_state, initial_state, actions
             )
