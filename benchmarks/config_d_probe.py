@@ -104,15 +104,18 @@ def moves_nofix_body(c):
 
 
 def respawn_body(c):
-    (tq, txy, key) = c
+    """Head-pointer respawn (episode-invariant queue, one-hot head read)."""
+    (tq, txy, goals, key) = c
     key, k = jax.random.split(key)
     on_goal = jax.random.bernoulli(k, 0.02, (B, N))
-    new_targets = jax.vmap(
-        lambda q: generator.cells_to_xy(q[:, 0], P))(tq)
+    goals = goals + on_goal.astype(jnp.int32)
+    q_len = tq.shape[-1]
+    head = (goals - 1) % q_len
+    head_oh = head[..., None] == jnp.arange(q_len)
+    cells = jnp.sum(jnp.where(head_oh, tq.astype(jnp.int32), 0), axis=-1)
+    new_targets = generator.cells_to_xy(cells, P)
     txy = jnp.where(on_goal[..., None], new_targets, txy)
-    rolled = jnp.roll(tq, -1, axis=2)
-    tq = jnp.where(on_goal[..., None], rolled, tq)
-    return (tq, txy, key), txy.sum()
+    return (tq, txy, goals, key), txy.sum()
 
 
 bench("full", full_body, (state, jax.random.key(1)))
@@ -120,4 +123,5 @@ bench("bare", bare_body, (state, jax.random.key(1)))
 bench("moves", moves_body, (state.agents_xy, jax.random.key(1)))
 bench("moves_nofix", moves_nofix_body, (state.agents_xy, jax.random.key(1)))
 bench("respawn", respawn_body,
-      (state.target_queue, state.targets_xy, jax.random.key(1)))
+      (state.target_queue, state.targets_xy,
+       jnp.zeros((B, N), jnp.int32), jax.random.key(1)))

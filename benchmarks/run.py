@@ -72,7 +72,7 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
         cfg, num_envs=envs, maze=(maze is True), map_bank=bank
     )
     step_auto = core._make_step_auto()
-    state, _ = core.reset(jax.random.key(0))
+    state, _ = core.reset(core.make_key(0))
 
     # Tiny-batch configs are latency-bound, not FLOP-bound: measured on a
     # v5e at B=1, a scan body of JUST split+randint costs 22.3 us/step
@@ -110,12 +110,12 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
         return s, rews.sum()
 
     run_jit = jax.jit(run, static_argnums=(3,))
-    s2, _ = run_jit(state, state, jax.random.key(1), steps)
+    s2, _ = run_jit(state, state, core.make_key(1), steps)
     jax.block_until_ready(s2)
     dt = float("inf")
     for trial in range(3):
         t0 = time.perf_counter()
-        _, rew = run_jit(s2, state, jax.random.key(2 + trial), steps)
+        _, rew = run_jit(s2, state, core.make_key(2 + trial), steps)
         float(rew)
         dt = min(dt, time.perf_counter() - t0)
     value = envs * steps / dt

@@ -39,6 +39,23 @@ from . import step as step_mod
 from .types import EnvState
 
 
+def _resolve_host_device():
+    """The host (CPU) XLA device, registering the cpu platform alongside
+    the accelerator platform if needed. Returns None when unavailable
+    (callers then stay on the default backend)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        pass
+    try:
+        plats = jax.config.jax_platforms
+        if plats and "cpu" not in plats.split(","):
+            jax.config.update("jax_platforms", plats + ",cpu")
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
 class PogemaCore:
     """Batched functional environment: holds only static config + jitted
     callables; all state is explicit (pure pytrees in, pytrees out)."""
@@ -51,10 +68,20 @@ class PogemaCore:
         maze: bool = False,
         map_bank: Optional[np.ndarray] = None,
         obs_dtype=None,
+        device: str = "auto",
     ):
         """obs_dtype: cast float observation leaves (default f32 for
         reference parity; pass jnp.bfloat16 to halve HBM traffic on the
-        learner path — the obs tensor dominates rollout cost)."""
+        learner path — the obs tensor dominates rollout cost).
+
+        device: dispatch policy. Tiny workloads (B*N small) are
+        latency-bound, not FLOP-bound: on an accelerator every step pays
+        per-op/dispatch overhead (~50 us/step for config A on a v5e, vs
+        ~2 us of actual work), so 'auto' routes envs with
+        num_envs * num_agents <= 16 to the host XLA (CPU) backend — the
+        same jitted program, bit-exact by the verified cross-backend
+        guarantee (docs/DESIGN.md "Determinism"). 'cpu' forces host,
+        'default' forces the default (accelerator) backend."""
         self.grid_config = grid_config
         self.cfg: StaticConfig = grid_config.to_static()
         self.num_envs = int(num_envs)
@@ -62,6 +89,26 @@ class PogemaCore:
             raise ValueError("auto_reset_mode must be 'cached' or 'regen'")
         self.auto_reset_mode = auto_reset_mode
         self.obs_dtype = obs_dtype
+        if device == "auto":
+            want_host = self.num_envs * self.cfg.num_agents <= 16
+            if want_host:
+                # Routing only makes sense single-process and when the
+                # default backend is a (remote) accelerator: under
+                # multi-process the first cpu device may belong to
+                # another process, and on a cpu default backend there is
+                # nothing to win.
+                try:
+                    want_host = (jax.process_count() == 1
+                                 and jax.default_backend() != "cpu")
+                except Exception:
+                    want_host = False
+        elif device in ("cpu", "host"):
+            want_host = True
+        elif device == "default":
+            want_host = False
+        else:
+            raise ValueError("device must be 'auto', 'cpu', or 'default'")
+        self._host_device = _resolve_host_device() if want_host else None
 
         cfg_chk = self.cfg
         if grid_config.map is None and grid_config.agents_xy is None:
@@ -165,6 +212,14 @@ class PogemaCore:
 
     # -- plain (no auto-reset) ------------------------------------------
 
+    def make_key(self, seed: int):
+        """PRNG key on this core's dispatch device (host for tiny
+        workloads — see the ``device`` policy)."""
+        if self._host_device is not None:
+            with jax.default_device(self._host_device):
+                return jax.random.key(seed)
+        return jax.random.key(seed)
+
     def reset(self, key):
         """(state, observations) for B envs. key: single PRNG key.
 
@@ -172,7 +227,17 @@ class PogemaCore:
         bounded retry exhausted — unplaceable config); the reference raises
         on unplaceable configs too."""
         if isinstance(key, int):
-            key = jax.random.key(key)
+            if self._host_device is not None:
+                with jax.default_device(self._host_device):
+                    key = jax.random.key(key)
+            else:
+                key = jax.random.key(key)
+        if self._host_device is not None:
+            # Commit the key to the host device: jit follows committed
+            # inputs, so the whole env program (and every later step on
+            # the returned state) runs on host XLA — no accelerator
+            # round-trips for latency-bound tiny workloads.
+            key = jax.device_put(key, self._host_device)
         state, obs = self._reset(key)
         if not bool(jnp.all(state.placement_ok)):
             n_bad = int(jnp.sum(~state.placement_ok))
@@ -185,10 +250,20 @@ class PogemaCore:
             )
         return state, obs
 
+    def _as_actions(self, actions):
+        if isinstance(actions, jax.Array):
+            return actions
+        if self._host_device is not None:
+            # Place host-side actions directly on the dispatch device —
+            # jnp.asarray would land them on the default (accelerator)
+            # backend and force a cross-device transfer every step.
+            return jax.device_put(np.asarray(actions, np.int32), self._host_device)
+        return jnp.asarray(actions)
+
     def step(self, state, actions):
         """No auto-reset: finished envs keep returning their final state.
         Returns (state, StepResult, done bool[B], metrics dict of f32[B])."""
-        return self._step(state, jnp.asarray(actions))
+        return self._step(state, self._as_actions(actions))
 
     # -- auto-reset ------------------------------------------------------
 
@@ -217,7 +292,18 @@ class PogemaCore:
                 # Restore cached initial state but advance the per-env key
                 # so successive episodes differ where RNG is consumed.
                 fresh = initial_state.replace(key=jax.vmap(_advance_key)(new_state.key))
-                reset_state = select_done(done, fresh, new_state)
+                if cfg.on_target == "restart":
+                    # The respawn queue is episode-invariant (head-pointer
+                    # form, core/step.py): selecting it would copy
+                    # [B, N, Q] every step for a leaf that never changes.
+                    queue = new_state.target_queue
+                    reset_state = select_done(
+                        done,
+                        fresh.replace(target_queue=None),
+                        new_state.replace(target_queue=None),
+                    ).replace(target_queue=queue)
+                else:
+                    reset_state = select_done(done, fresh, new_state)
             else:  # 'regen'
 
                 def regen(ns):
@@ -243,7 +329,7 @@ class PogemaCore:
         call). Returns (state, obs_after_reset, StepResult, done, metrics).
         StepResult holds the PRE-reset rewards/flags/obs of this step;
         ``obs_after_reset`` is what a learner should see next."""
-        return self._step_auto(state, initial_state, jnp.asarray(actions))
+        return self._step_auto(state, initial_state, self._as_actions(actions))
 
 
 def _advance_key(key):

@@ -300,9 +300,11 @@ def build_target_queue(key, table, components, target_cells, queue_len: int, p: 
         queue = queue.at[:, -1].set(jnp.where(last == q0, fix, last))
     # Degenerate single-cell components: stay on the initial target.
     queue = jnp.where(cnt[:, None] <= 1, target_cells[:, None], queue)
-    # Packed flat cell ids (one i32 per entry — half the per-step roll
-    # traffic of (x, y) pairs).
-    return queue.astype(jnp.int32)
+    # Packed flat cell ids; i16 when they fit (p <= 181) — the step-path
+    # head lookup reads the whole [B, N, Q] queue each step, so entry
+    # width is pure HBM traffic.
+    dtype = jnp.int16 if p * p < 2**15 else jnp.int32
+    return queue.astype(dtype)
 
 
 def sample_new_target(key, table, components, agent_cell):

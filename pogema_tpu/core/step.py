@@ -110,13 +110,22 @@ def step_one(cfg: StaticConfig, state: EnvState, actions):
         terminated = jnp.broadcast_to(all_on_goal, (n,))
     else:  # 'restart' (LifeLong)
         rewards = on_goal.astype(jnp.float32)
-        # Gather-free respawn: take the pre-sampled queue head and roll
-        # the queue for agents that scored (see build_target_queue).
-        queue = state.target_queue  # i32[N, Q] flat cell ids
-        new_targets = generator.cells_to_xy(queue[:, 0], p)
+        # Gather-free respawn, head-pointer form: the queue is
+        # EPISODE-INVARIANT (never written on the step path) and
+        # goals_achieved is the head pointer — the k-th scored goal reads
+        # queue[(k-1) mod Q] via a one-hot dot. vs the previous roll
+        # scheme (identical goal sequence, cyclic in both) this removes
+        # the [B, N, Q] write-back every step, and lets cached auto-reset
+        # skip the queue leaf entirely (core/api.py select_done).
+        queue = state.target_queue  # int[N, Q] flat cell ids
+        q_len = queue.shape[-1]
+        head = (goals_achieved - 1) % q_len  # post-increment count
+        head_oh = head[:, None] == jnp.arange(q_len)[None, :]
+        new_cells = jnp.sum(
+            jnp.where(head_oh, queue.astype(jnp.int32), 0), axis=-1
+        )
+        new_targets = generator.cells_to_xy(new_cells, p)
         targets_xy = jnp.where(on_goal[:, None], new_targets, targets_xy)
-        rolled = jnp.roll(queue, -1, axis=1)
-        target_queue = jnp.where(on_goal[:, None], rolled, queue)
 
     step_count = state.step_count + 1
     truncated = jnp.broadcast_to(step_count >= cfg.max_episode_steps, (n,))

@@ -25,12 +25,13 @@ class EnvState:
     # i32[..., N, 2] padded coords of agents / their goals.
     agents_xy: jnp.ndarray
     targets_xy: jnp.ndarray
-    # LifeLong only (None otherwise): i32[..., N, Q] pre-sampled queue
-    # of future goal cells per agent, all inside the agent's connected
-    # component with consecutive entries distinct (so the head never
-    # equals the just-reached goal the agent stands on). Respawn = take
-    # the head + roll left by one for agents that scored — no gathers on
-    # the step path (TPU gathers serialize; see ops/windows.py).
+    # LifeLong only (None otherwise): int[..., N, Q] pre-sampled queue
+    # of future goal cells per agent (i16 when cell ids fit), all inside
+    # the agent's connected component with consecutive entries distinct
+    # (so the head never equals the just-reached goal the agent stands
+    # on). EPISODE-INVARIANT: respawn reads entry (goals_achieved-1) % Q
+    # via a one-hot dot — no step-path writes, no gathers (TPU gathers
+    # serialize; see ops/windows.py).
     target_queue: jnp.ndarray
     # bool[..., N]: active = visible & moving (finish mode hides agents on
     # goal); terminated = per-agent done flag as returned by step.

@@ -93,9 +93,10 @@ class Pogema(gymnasium.Env):
     # -- seeding ---------------------------------------------------------
 
     def _episode_key(self):
+        base = self._core.make_key(self._base_seed)
         if self._fresh_each_reset:
-            return jax.random.fold_in(jax.random.key(self._base_seed), self._episode)
-        return jax.random.key(self._base_seed)
+            return jax.random.fold_in(base, self._episode)
+        return base
 
     # -- gym API ---------------------------------------------------------
 
@@ -108,7 +109,7 @@ class Pogema(gymnasium.Env):
         return self._split_obs(obs), self._fresh_infos()
 
     def step(self, actions):
-        acts = jnp.asarray(np.asarray(actions, np.int32)[None, :])
+        acts = np.asarray(actions, np.int32)[None, :]
         self._state, res, done, mets = self._core.step(self._state, acts)
         obs = self._split_obs(res.observations)
         rewards = np.asarray(res.rewards[0]).astype(float).tolist()

@@ -18,4 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# POGEMA_TEST_TPU=1 leaves the default (accelerator) platform in place so
+# backend-sensitive suites (e.g. golden fixtures) can be replayed on real
+# hardware: POGEMA_TEST_TPU=1 pytest tests/test_golden_fixtures.py
+if not os.environ.get("POGEMA_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")

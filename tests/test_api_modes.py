@@ -160,3 +160,38 @@ def test_explicit_duplicate_agents_raise():
                        targets_xy=[[2, 2], [1, 1]]),
             num_envs=1,
         )
+
+
+# -- tiny-workload host dispatch policy (device="auto") ------------------
+
+
+def test_device_policy_auto_is_off_on_cpu_backend():
+    # On a cpu default backend there is nothing to win by routing; auto
+    # must stay on the default dispatch path.
+    core = PogemaCore(GridConfig(seed=0, size=8, num_agents=1), num_envs=1)
+    assert core._host_device is None
+
+
+def test_device_policy_rejects_unknown():
+    with pytest.raises(ValueError, match="device"):
+        PogemaCore(GridConfig(seed=0, size=8, num_agents=1), device="gpu0")
+
+
+def test_forced_host_dispatch_is_bit_exact():
+    cfg = GridConfig(seed=0, size=8, density=0.2, num_agents=2,
+                     obs_radius=2, max_episode_steps=16)
+    default = PogemaCore(cfg, num_envs=1, device="default")
+    host = PogemaCore(cfg, num_envs=1, device="cpu")
+    assert host._host_device is not None
+    s_d, o_d = default.reset(0)
+    s_h, o_h = host.reset(0)
+    assert np.array_equal(np.asarray(o_d), np.asarray(o_h))
+    acts = np.array([[1, 3]], np.int32)
+    for _ in range(4):
+        s_d, r_d, done_d, _ = default.step(s_d, acts)
+        s_h, r_h, done_h, _ = host.step(s_h, acts)
+    assert np.array_equal(np.asarray(s_d.agents_xy), np.asarray(s_h.agents_xy))
+    assert np.array_equal(np.asarray(r_d.rewards), np.asarray(r_h.rewards))
+    # make_key lands on the dispatch device
+    k = host.make_key(7)
+    assert list(k.devices())[0] == host._host_device

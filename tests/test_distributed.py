@@ -28,9 +28,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_loopback_matches_single_process():
+def _spawn_and_collect(nproc, local_devices):
     port = _free_port()
-    nproc, local_devices = 2, 4
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
@@ -44,14 +43,28 @@ def test_two_process_loopback_matches_single_process():
         )
         for pid in range(nproc)
     ]
-    results = {}
+    results, errors = {}, []
     for w in workers:
         out, err = w.communicate(timeout=240)
-        assert w.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        if w.returncode != 0:
+            errors.append(err[-3000:])
+            continue
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 _, pid, loss, chk = line.split()
                 results[int(pid)] = (float(loss), int(chk))
+    return results, errors
+
+
+def test_two_process_loopback_matches_single_process():
+    nproc, local_devices = 2, 4
+    results, errors = _spawn_and_collect(nproc, local_devices)
+    if errors and any("DEADLINE_EXCEEDED" in e for e in errors):
+        # Gloo's 30s rendezvous window can expire when the machine is
+        # saturated and one worker is still importing/compiling —
+        # environmental, not a correctness signal; one quiet retry.
+        results, errors = _spawn_and_collect(nproc, local_devices)
+    assert not errors, f"worker failed:\n{errors[0]}"
     assert sorted(results) == [0, 1], results
 
     # SPMD: every process sees the same replicated outputs.
