@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--log", default=None,
                     help="CSV file for per-iteration training stats")
+    ap.add_argument("--tb-dir", default=None,
+                    help="TensorBoard log directory (tensorboardX); same "
+                         "scalars as --log")
     ap.add_argument("--log-every", type=int, default=1,
                     help="fetch/print stats every k iters (device->host "
                          "fetches through the tunnel cost ~20 ms each; "
@@ -90,6 +93,11 @@ def main():
                     epochs=args.epochs, minibatches=args.minibatches)
 
     log_file = open(args.log, "w") if args.log else None
+    tb_writer = None
+    if args.tb_dir:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(args.tb_dir)
 
     mesh = make_mesh()
     with mesh:
@@ -145,8 +153,14 @@ def main():
                 print(f"{it},{sps:.1f},"
                       + ",".join(f"{host[k]:.6g}" for k in sorted(host)),
                       file=log_file, flush=True)
+            if tb_writer:
+                tb_writer.add_scalar("perf/env_steps_per_s", sps, it)
+                for k, v in host.items():
+                    tb_writer.add_scalar(f"train/{k}", v, it)
         if log_file:
             log_file.close()
+        if tb_writer:
+            tb_writer.close()
         if args.checkpoint:
             from pogema_tpu.utils.checkpoint import save_checkpoint
 
