@@ -292,18 +292,29 @@ class PogemaCore:
                 # Restore cached initial state but advance the per-env key
                 # so successive episodes differ where RNG is consumed.
                 fresh = initial_state.replace(key=jax.vmap(_advance_key)(new_state.key))
-                if cfg.on_target == "restart":
-                    # The respawn queue is episode-invariant (head-pointer
-                    # form, core/step.py): selecting it would copy
-                    # [B, N, Q] every step for a leaf that never changes.
-                    queue = new_state.target_queue
-                    reset_state = select_done(
-                        done,
-                        fresh.replace(target_queue=None),
-                        new_state.replace(target_queue=None),
-                    ).replace(target_queue=queue)
-                else:
-                    reset_state = select_done(done, fresh, new_state)
+                # Leaves step_one never writes in this mode equal their
+                # reset-time values on both sides of the select (cached
+                # mode's contract: ``initial_state`` is the object reset
+                # returned), so selecting them would copy grid-sized
+                # tensors every step for nothing: obstacles is [B, P, P]
+                # (~22 MB at config C, ~10% of the step), the respawn
+                # queue [B, N, Q], targets_xy [B, N, 2] (static outside
+                # LifeLong).
+                invariant = {"obstacles", "placement_ok"}
+                invariant.add(
+                    "target_queue" if cfg.on_target == "restart" else "targets_xy"
+                )
+                keep = {
+                    f: getattr(new_state, f)
+                    for f in invariant
+                    if getattr(new_state, f) is not None
+                }
+                nones = {f: None for f in keep}
+                reset_state = select_done(
+                    done,
+                    fresh.replace(**nones),
+                    new_state.replace(**nones),
+                ).replace(**keep)
             else:  # 'regen'
 
                 def regen(ns):

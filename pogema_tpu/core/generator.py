@@ -172,12 +172,23 @@ def connected_components(padded_grid: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def component_sizes(components: jnp.ndarray, p: int) -> jnp.ndarray:
-    """i32[P*P]: size of each cell's component (0 for obstacles)."""
+def multi_cell_component(components: jnp.ndarray, p: int) -> jnp.ndarray:
+    """bool[P*P]: free cell whose component has >= 2 cells.
+
+    A free cell's 4-connected component has size >= 2 iff the cell has a
+    free 4-neighbor, so this needs only shifts — NO segment_sum/gather.
+    (The previous segment_sum+gather formulation was miscompiled by
+    XLA:TPU at batch >= ~1024 x 19k cells: it returned all-zero sizes,
+    making every cell ineligible and failing config E's reset. Shifts
+    also lower faster.) Border padding is obstacles, so jnp.roll wrap
+    reads are always non-free."""
     big = p * p
-    ones = (components < big).astype(jnp.int32)
-    sizes = jax.ops.segment_sum(ones, components, num_segments=big + 1)
-    return jnp.where(components < big, sizes[jnp.minimum(components, big)], 0)
+    free = (components < big).reshape(p, p)
+    nbr = (
+        jnp.roll(free, 1, 0) | jnp.roll(free, -1, 0)
+        | jnp.roll(free, 1, 1) | jnp.roll(free, -1, 1)
+    )
+    return (free & nbr).reshape(-1)
 
 
 def place_agents_and_targets(cfg: StaticConfig, key, components):
@@ -191,8 +202,7 @@ def place_agents_and_targets(cfg: StaticConfig, key, components):
     big = p * p
     k_agents, k_targets = jax.random.split(key)
 
-    sizes = component_sizes(components, p)
-    eligible = (components < big) & (sizes >= 2)
+    eligible = multi_cell_component(components, p)
     scores = jnp.where(eligible, jax.random.uniform(k_agents, (big,)), -1.0)
     top_scores, agent_cells = lax.top_k(scores, n)
     agents_ok = jnp.all(top_scores >= 0.0)
