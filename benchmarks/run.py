@@ -135,11 +135,18 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*", default=["A", "B", "C", "D"])
-    ap.add_argument("--steps", type=int, default=256)
+    # Each timed trial must run >= ~0.5 s: the tunneled dispatch + scalar
+    # fetch costs a fixed ~31 ms/trial (measured config C: 0.772 ms/step
+    # at 256 steps vs 0.651 at 1024), which at short scans hides up to
+    # 5x of the fast configs' steady-state rate (B: 1.6M apparent at 256
+    # steps vs 9.0M at 16384). Default (0) = per-config.
+    ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--collision-system", default="priority")
     args = ap.parse_args()
+    per_config_steps = {"A": 8192, "B": 16384, "C": 1024, "D": 1024, "E": 1024}
     for name in args.configs:
-        out = run_config(name, args.steps, args.collision_system)
+        steps = args.steps or per_config_steps.get(name, 1024)
+        out = run_config(name, steps, args.collision_system)
         print(json.dumps(out), flush=True)
 
 
