@@ -1,0 +1,98 @@
+"""Scale-level TPU-vs-CPU equivalence (gated: POGEMA_TEST_TPU=1).
+
+Why this exists: XLA:TPU miscompiled vmapped segment_sum + label gather
+at B >= ~1024 x 19k cells (all-zero component sizes -> total placement
+failure for config E) while being bit-correct at B=64 and on CPU. The
+golden fixtures replay tiny configs, so a SCALE-dependent miscompile is
+invisible to them; this suite reruns the reset/placement/respawn pipeline
+at benchmark scale on the accelerator and demands bit-equality with host
+XLA (the engine is integer-exact across backends by design —
+docs/DESIGN.md "Determinism").
+
+Run: POGEMA_TEST_TPU=1 python -m pytest tests/test_tpu_scale.py -q
+(~2-4 min on the tunneled v5e; skipped otherwise).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("POGEMA_TEST_TPU"),
+    reason="needs the real TPU: POGEMA_TEST_TPU=1",
+)
+
+
+def _cpu_device():
+    plats = jax.config.jax_platforms
+    if plats and "cpu" not in plats.split(","):
+        jax.config.update("jax_platforms", plats + ",cpu")
+    return jax.local_devices(backend="cpu")[0]
+
+
+@pytest.mark.parametrize(
+    "batch,size,agents,on_target",
+    [
+        (1024, 128, 32, "finish"),   # config E grid scale (the miscompile shape)
+        (2048, 64, 64, "restart"),   # config D: respawn table + queue at scale
+    ],
+)
+def test_reset_scale_matches_cpu(batch, size, agents, on_target):
+    from pogema_tpu import GridConfig, PogemaCore
+
+    cfg = GridConfig(
+        seed=0, size=size, num_agents=agents, obs_radius=5,
+        max_episode_steps=128, on_target=on_target,
+    )
+    core = PogemaCore(cfg, num_envs=batch, device="default")
+    state, _ = core.reset(core.make_key(3))
+
+    cpu = _cpu_device()
+    with jax.default_device(cpu):
+        core_cpu = PogemaCore(cfg, num_envs=batch, device="cpu")
+        state_cpu, _ = core_cpu.reset(core_cpu.make_key(3))
+
+    for leaf in ("agents_xy", "targets_xy", "target_queue", "placement_ok"):
+        dev = getattr(state, leaf)
+        host = getattr(state_cpu, leaf)
+        if dev is None:
+            assert host is None
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(dev), np.asarray(host), err_msg=f"{leaf} diverged"
+        )
+    assert bool(np.asarray(state.placement_ok).all())
+
+
+def test_step_scale_matches_cpu():
+    """64 steps at config-C scale: agent positions / rewards bit-equal."""
+    from pogema_tpu import GridConfig, PogemaCore
+
+    cfg = GridConfig(seed=0, size=64, num_agents=64, obs_radius=5,
+                     max_episode_steps=128)
+    n_steps, batch = 64, 1024
+    rng = np.random.default_rng(0)
+    actions = rng.integers(0, 5, size=(n_steps, batch, 64)).astype(np.int32)
+
+    def rollout(core):
+        state, _ = core.reset(core.make_key(5))
+        initial = state
+        # One bulk H2D of all actions; per-step slicing stays on device
+        # (per-step host transfers through the tunnel are hang-prone).
+        acts = jax.device_put(actions)
+        for t in range(n_steps):
+            state, _, _, _, _ = core.step_autoreset(state, initial, acts[t])
+        return np.asarray(state.agents_xy), np.asarray(state.goals_achieved)
+
+    core = PogemaCore(cfg, num_envs=batch, device="default", maze=True)
+    xy_dev, goals_dev = rollout(core)
+    cpu = _cpu_device()
+    with jax.default_device(cpu):
+        core_cpu = PogemaCore(cfg, num_envs=batch, device="cpu", maze=True)
+        xy_cpu, goals_cpu = rollout(core_cpu)
+
+    np.testing.assert_array_equal(xy_dev, xy_cpu)
+    np.testing.assert_array_equal(goals_dev, goals_cpu)
