@@ -15,8 +15,18 @@ Everything here is jit-compatible and runs on device so vectorized resets
   length;
 * placement: agents as a uniform distinct sample of eligible free cells
   (top-k over iid uniforms), each target an independent uniform free cell
-  of the *same* connected component (gumbel-argmax over the component
-  mask) — reachability by construction, like the reference's BFS check;
+  of the *same* connected component (argmax over masked u32 random bits)
+  — reachability by construction, like the reference's BFS check.
+  EVERY sampler here is transcendental-free (uniform/randint/bits are
+  exact bit manipulation of the threefry stream) so resets are bit-equal
+  across XLA backends by construction; gumbel (-log(-log u)) is banned
+  as a hazard — transcendental libm results are not guaranteed
+  ULP-identical between XLA:CPU and XLA:TPU, and a last-ULP difference
+  under argmax/top-k would silently flip a placement. (The scale
+  divergences tests/test_tpu_scale.py actually caught were elsewhere —
+  the flood-fill sweep fusion (see _segmented_min_scan) and a lost
+  scatter in the target loop (see place_agents_and_targets) — but the
+  integer sampler keeps the no-transcendentals invariant checkable.)
 * a perfect-maze generator (sidewinder, parallelized with segmented
   scans) for the maze benchmark configs;
 * O(1) LifeLong goal respawn via a component-sorted cell table built at
@@ -111,28 +121,34 @@ def pad_grid(cfg: StaticConfig, grid: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _segmented_min_scan(vals, boundary, reverse):
-    """Per-row segmented running minimum: the min is reset at boundary
-    cells (obstacles).
+def _segmented_min_scan(vals, boundary, axis, reverse):
+    """Segmented running minimum along ``axis``: the min is reset at
+    boundary cells (obstacles).
 
     Implemented as a single ``lax.cummax`` primitive (native TPU lowering,
     far cheaper to compile than an associative_scan with a tuple carry)
-    via the encoding w = seg_id * K + (K-1 - v): within a row, seg_id is
-    non-decreasing, so the running max always comes from the current
-    segment, and maximizing (K-1 - v) minimizes v. K must exceed every
-    value; with labels < P*P and ≤ P segments per row, w stays well inside
-    int32 for any practical grid.
+    via the encoding w = seg_id * K + (K-1 - v): along the traversal
+    direction, seg_id is non-decreasing, so the running max always comes
+    from the current segment, and maximizing (K-1 - v) minimizes v. K must
+    exceed every value; with labels < P*P and ≤ P segments per line, w
+    stays well inside int32 for any practical grid.
+
+    Direction/axis are expressed with the primitives' native ``reverse=``
+    and ``axis=`` parameters — NOT jnp.flip/transpose around a forward
+    row scan. The flip/transpose composition is miscompiled by XLA:TPU
+    when the four directional scans of a flood-fill sweep fuse at batch
+    >= ~1024 x 138x138 (each scan alone is bit-correct; the fused sweep
+    returns labels leaked across segment boundaries — see
+    benchmarks/floodfill_probe.py and tests/test_tpu_scale.py; the same
+    family as the segment_sum miscompile noted in multi_cell_component).
     """
-    big = vals.shape[-1] * vals.shape[-1]  # labels are < P*P (+ sentinel)
+    big = vals.size  # labels are < P*P (+ sentinel)
     k = jnp.int32(big + 2)
-    flip = (lambda x: jnp.flip(x, axis=-1)) if reverse else (lambda x: x)
-    v = flip(vals)
-    b = flip(boundary)
-    seg = jnp.cumsum(b.astype(jnp.int32), axis=-1)
-    w = seg * k + (k - 1 - jnp.minimum(v, k - 1))
-    w = lax.cummax(w, axis=v.ndim - 1)
+    seg = lax.cumsum(boundary.astype(jnp.int32), axis=axis, reverse=reverse)
+    w = seg * k + (k - 1 - jnp.minimum(vals, k - 1))
+    w = lax.cummax(w, axis=axis, reverse=reverse)
     out = (k - 1) - (w - seg * k)
-    return flip(jnp.minimum(out, big))
+    return jnp.minimum(out, big)
 
 
 @jax.jit
@@ -142,18 +158,15 @@ def connected_components(padded_grid: jnp.ndarray) -> jnp.ndarray:
     p = padded_grid.shape[-1]
     big = p * p
     obstacle = padded_grid.astype(bool)
-    obstacle_t = obstacle.T
     labels = jnp.where(
         obstacle, big, jnp.arange(big, dtype=jnp.int32).reshape(p, p)
     ).astype(jnp.int32)
 
     def sweep(lab):
-        lab = _segmented_min_scan(lab, obstacle, reverse=False)
-        lab = _segmented_min_scan(lab, obstacle, reverse=True)
-        lab_t = lab.T
-        lab_t = _segmented_min_scan(lab_t, obstacle_t, reverse=False)
-        lab_t = _segmented_min_scan(lab_t, obstacle_t, reverse=True)
-        return lab_t.T
+        lab = _segmented_min_scan(lab, obstacle, axis=1, reverse=False)
+        lab = _segmented_min_scan(lab, obstacle, axis=1, reverse=True)
+        lab = _segmented_min_scan(lab, obstacle, axis=0, reverse=False)
+        return _segmented_min_scan(lab, obstacle, axis=0, reverse=True)
 
     def cond(carry):
         lab, prev, it = carry
@@ -215,11 +228,21 @@ def place_agents_and_targets(cfg: StaticConfig, key, components):
         used, targets, ok = carry
         comp = components[agent_cells[i]]
         mask = free & (components == comp) & ~used & (cell_ids != agent_cells[i])
-        g = jax.random.gumbel(jax.random.fold_in(k_targets, i), (big,))
-        sc = jnp.where(mask, g, -jnp.inf)
+        # Uniform choice over the mask = argmax of iid u32 random bits
+        # (NOT gumbel: -log(-log u) is transcendental and XLA:CPU/TPU log
+        # differ in the last ULP, flipping argmax ranks at scale — the
+        # integer path is bit-identical across backends; ties are 2^-32
+        # per pair and break to the first index on every backend).
+        g = jax.random.bits(jax.random.fold_in(k_targets, i), (big,))
+        sc = jnp.where(mask, g, jnp.uint32(0))
         c = jnp.argmax(sc).astype(jnp.int32)
-        found = sc[c] > -jnp.inf
-        used = used.at[c].set(True)
+        found = mask[c]
+        # Elementwise compare+or, NOT used.at[c].set(True): XLA:TPU loses
+        # ~half of the 1-element scatter updates inside this vmapped loop
+        # at B >= ~1024 x 19k cells (used_pop 13 after 26 iterations;
+        # CPU / small B are correct) — the third batched-scatter/scan
+        # miscompile in this family (benchmarks/placement_probe.py).
+        used = used | (cell_ids == c)
         targets = targets.at[i].set(c)
         return used, targets, ok & found
 
