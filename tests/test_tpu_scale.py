@@ -96,3 +96,45 @@ def test_step_scale_matches_cpu():
 
     np.testing.assert_array_equal(xy_dev, xy_cpu)
     np.testing.assert_array_equal(goals_dev, goals_cpu)
+
+
+def test_lifelong_step_and_obs_scale_matches_cpu():
+    """64 LifeLong steps at scale: exercises the respawn-queue READ path
+    (head-pointer one-hot dot) + goals_achieved increments under vmap at
+    B=1024 — a gather/scan composition the reset-only test never runs —
+    and the obs one-hot einsum path (values are exact small integers in
+    f32, so bit-equality is required, not approx)."""
+    from pogema_tpu import GridConfig, PogemaCore
+
+    cfg = GridConfig(seed=0, size=64, num_agents=64, obs_radius=5,
+                     max_episode_steps=128, on_target="restart")
+    n_steps, batch = 64, 1024
+    rng = np.random.default_rng(7)
+    actions = rng.integers(0, 5, size=(n_steps, batch, 64)).astype(np.int32)
+
+    def rollout(core):
+        state, _ = core.reset(core.make_key(11))
+        initial = state
+        acts = jax.device_put(actions)
+        obs = None
+        for t in range(n_steps):
+            state, obs, _, _, _ = core.step_autoreset(state, initial, acts[t])
+        # Fetch a bit-exact slice + an exact integer checksum of the rest
+        # (full [1024,64,3,11,11] f32 through the tunnel is hang-prone).
+        obs_head = np.asarray(obs[:32])
+        obs_sum = int(np.asarray(jax.numpy.sum(obs.astype(jax.numpy.int32))))
+        return (np.asarray(state.agents_xy), np.asarray(state.goals_achieved),
+                obs_head, obs_sum)
+
+    core = PogemaCore(cfg, num_envs=batch, device="default")
+    xy_dev, goals_dev, obs_dev, sum_dev = rollout(core)
+    cpu = _cpu_device()
+    with jax.default_device(cpu):
+        core_cpu = PogemaCore(cfg, num_envs=batch, device="cpu")
+        xy_cpu, goals_cpu, obs_cpu, sum_cpu = rollout(core_cpu)
+
+    np.testing.assert_array_equal(xy_dev, xy_cpu)
+    np.testing.assert_array_equal(goals_dev, goals_cpu)
+    np.testing.assert_array_equal(obs_dev, obs_cpu, err_msg="obs diverged")
+    assert sum_dev == sum_cpu, f"obs checksum diverged: {sum_dev} != {sum_cpu}"
+    assert goals_dev.sum() > 0  # respawn path actually exercised
