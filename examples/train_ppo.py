@@ -147,7 +147,7 @@ def main():
                 flush=True,
             )
             if log_file:
-                if it == 0:
+                if log_file.tell() == 0:  # first logged row (not nec. it 0)
                     print("iter,env_steps_per_s,"
                           + ",".join(sorted(host)), file=log_file)
                 print(f"{it},{sps:.1f},"
