@@ -51,8 +51,64 @@ class _RandomPolicy:
         pass
 
 
+class PPOPolicy:
+    """A trained actor-critic checkpoint as a toolbox algo (name "PPO"):
+    closes the train -> eval loop (train with examples/train_ppo.py
+    --checkpoint, evaluate head-to-head with A*/random on the same maps).
+
+    Model family and sizes are inferred from the checkpoint pytree saved
+    by ``utils.checkpoint.save_checkpoint`` — ``embed_kernel`` present
+    means the fused :class:`~pogema_tpu.models.EmbedActorCritic` (its
+    obs-based ``__call__`` computes the same function as the training
+    path), otherwise the conv :class:`~pogema_tpu.models.ActorCritic`.
+    Consumes default 3-channel observations (observation_type='default').
+    ``temperature=0`` acts greedily; >0 softmax-samples.
+    """
+
+    def __init__(self, checkpoint: str, temperature: float = 0.0, seed=0):
+        import jax
+
+        from .utils.checkpoint import restore_checkpoint
+
+        self._params = restore_checkpoint(checkpoint)
+        inner = self._params["params"]
+        if "embed_kernel" in inner:
+            from .models import EmbedActorCritic
+
+            ek = inner["embed_kernel"]  # [3, W*W, E]
+            window = int(round(ek.shape[1] ** 0.5))
+            model = EmbedActorCritic(
+                window=window, embed=int(ek.shape[2]),
+                hidden=int(inner["trunk"]["kernel"].shape[1]),
+            )
+        else:
+            from .models import ActorCritic
+
+            model = ActorCritic(
+                hidden=int(inner["trunk"]["kernel"].shape[1]),
+                channels=int(inner["conv1"]["kernel"].shape[-1]),
+            )
+        self._apply = jax.jit(lambda p, o: model.apply(p, o)[0])
+        self._temperature = float(temperature)
+        self._rng = np.random.default_rng(seed)
+
+    def act(self, observations):
+        obs = np.asarray(observations, np.float32)  # [N, 3, W, W]
+        logits = np.asarray(self._apply(self._params, obs), np.float64)
+        if self._temperature > 0.0:
+            # Gumbel-max sampling with the policy's own host RNG (the
+            # eval harness is host-side; no need for device PRNG here).
+            u = self._rng.uniform(1e-12, 1.0, size=logits.shape)
+            logits = logits / self._temperature - np.log(-np.log(u))
+        return np.argmax(logits, axis=-1).astype(int).tolist()
+
+    def reset_states(self):
+        pass
+
+
 register_algo("A*", BatchAStarAgent)
 register_algo("random", _RandomPolicy)
+register_algo("PPO", PPOPolicy)
 
 
 def run_episode(env, policy, max_steps: int = 10_000) -> dict:

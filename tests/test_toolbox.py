@@ -41,3 +41,33 @@ environments:
     assert set(out) == {"a", "warehouse"}
     assert out["a"]["ISR"] == 0.0  # staying still never reaches goals
     assert out["a"]["ep_length"] == 4.0
+
+
+def test_ppo_policy_roundtrip(tmp_path):
+    """Save untrained params for both model families, reload through the
+    toolbox PPO algo, and run an eval episode: exercises checkpoint
+    save/load, model-family + size inference from the pytree, and the
+    obs-based apply path (same function as training, tests/test_fused.py)."""
+    import jax
+
+    from pogema_tpu.models import init_embed_params, init_params
+    from pogema_tpu.toolbox import PPOPolicy
+    from pogema_tpu.utils.checkpoint import save_checkpoint
+
+    window = 7  # obs_radius 3
+    _, fused_params = init_embed_params(jax.random.key(0), window,
+                                        embed=32, hidden=16)
+    _, conv_params = init_params(jax.random.key(0), window,
+                                 hidden=16, channels=8)
+    envs = dict(size=6, num_agents=2, obs_radius=3, max_episode_steps=8)
+    for name, params in [("fused", fused_params), ("conv", conv_params)]:
+        path = str(tmp_path / name)
+        save_checkpoint(path, params)
+        out = evaluate(envs, algo="PPO", seeds=[0],
+                       algo_kwargs=dict(checkpoint=path))
+        assert "ep_length" in out["env"]
+        # Greedy policy is deterministic; sampled one still emits valid actions
+        pol = PPOPolicy(path, temperature=1.0, seed=1)
+        obs = [np.zeros((3, window, window), np.float32)] * 2
+        acts = pol.act(obs)
+        assert len(acts) == 2 and all(0 <= a < 5 for a in acts)
