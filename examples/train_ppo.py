@@ -38,7 +38,18 @@ def main():
     ap.add_argument("--model", choices=["fused", "conv"], default="fused")
     ap.add_argument("--embed", type=int, default=256)
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="save final params here (loadable by the "
+                         "toolbox 'PPO' algo)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="every k iters, save the FULL TrainState to "
+                         "<checkpoint>_state (restart tolerance; "
+                         "requires --checkpoint)")
+    ap.add_argument("--resume", action="store_true",
+                    help="if <checkpoint>_state exists, restore it and "
+                         "continue from the saved iteration (bit-exact "
+                         "vs an uninterrupted run — "
+                         "tests/test_checkpoint.py)")
     ap.add_argument("--log", default=None,
                     help="CSV file for per-iteration training stats")
     ap.add_argument("--tb-dir", default=None,
@@ -118,11 +129,33 @@ def main():
 
         import numpy as np
 
+        state_path = f"{args.checkpoint}_state" if args.checkpoint else None
+        start_iter = 0
+        if args.resume:
+            import os
+
+            from pogema_tpu.utils.checkpoint import restore_checkpoint
+
+            if not state_path:
+                raise SystemExit("--resume requires --checkpoint")
+            if os.path.exists(state_path):
+                saved = restore_checkpoint(
+                    state_path, like={"iter": np.int64(0), "ts": ts})
+                ts, start_iter = saved["ts"], int(saved["iter"])
+                print(f"resumed from {state_path} at iter {start_iter}")
+
         steps_per_iter = args.envs * args.rollout_steps
         t0 = time.perf_counter()
-        it_last = 0
-        for it in range(args.iters):
+        it_last = start_iter
+        for it in range(start_iter, args.iters):
             ts, stats = train_step(ts)
+            if args.checkpoint_every and (it + 1) % args.checkpoint_every == 0:
+                from pogema_tpu.utils.checkpoint import save_checkpoint
+
+                if not state_path:
+                    raise SystemExit("--checkpoint-every requires --checkpoint")
+                save_checkpoint(state_path,
+                                {"iter": np.int64(it + 1), "ts": ts})
             if (it + 1) % args.log_every and it + 1 < args.iters:
                 continue
             # ONE stacked device->host fetch (leaf-by-leaf float() pays

@@ -87,3 +87,41 @@ def test_training_resume_equals_uninterrupted(tmp_path):
                           np.asarray(ts_c.env_state.agents_xy))
     assert np.array_equal(jax.random.key_data(ts_a.key),
                           jax.random.key_data(ts_c.key))
+
+
+def test_train_ppo_runner_resume(tmp_path):
+    """Restart tolerance at the RUNNER level (examples/train_ppo.py):
+    interrupt-after-2 + --resume for 2 more == 4 uninterrupted iters,
+    compared on the final params checkpoint (VERDICT r1 §5 'no
+    restart-tolerant runner')."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    base = [sys.executable, os.path.join(repo, "examples", "train_ppo.py"),
+            "--envs", "8", "--agents", "2", "--size", "8",
+            "--rollout-steps", "4", "--on-target", "restart",
+            "--embed", "16", "--hidden", "16", "--log-every", "4"]
+
+    def run(extra):
+        subprocess.run(base + extra, env=env, check=True, timeout=420,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    ckpt_a = str(tmp_path / "a")
+    run(["--iters", "4", "--checkpoint", ckpt_a])
+
+    ckpt_b = str(tmp_path / "b")
+    run(["--iters", "2", "--checkpoint", ckpt_b, "--checkpoint-every", "2"])
+    run(["--iters", "4", "--checkpoint", ckpt_b, "--checkpoint-every", "2",
+         "--resume"])
+
+    pa = restore_checkpoint(ckpt_a)
+    pb = restore_checkpoint(ckpt_b)
+    la, lb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+    assert len(la) == len(lb) and len(la) > 0
+    for a, b in zip(la, lb):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
