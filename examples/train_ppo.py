@@ -86,7 +86,8 @@ def main():
     # queues each episode (episodes end synchronously at the time limit,
     # so regeneration runs exactly once per episode); cached mode would
     # replay the identical respawn sequence every episode.
-    fused_ok = args.on_target == "restart" and 128 % args.rollout_steps == 0
+    fused_ok = (args.on_target == "restart"
+                and cfg.max_episode_steps % args.rollout_steps == 0)
     auto_reset = "regen" if fused_ok else "cached"
     window = cfg.obs_radius * 2 + 1
 
@@ -103,7 +104,11 @@ def main():
     ppo = PPOConfig(lr=args.lr, rollout_steps=args.rollout_steps,
                     epochs=args.epochs, minibatches=args.minibatches)
 
-    log_file = open(args.log, "w") if args.log else None
+    # Append on --resume so a restart doesn't truncate the pre-crash
+    # learning curve; the header is written only when the file is empty.
+    log_file = open(args.log, "a" if args.resume else "w") if args.log else None
+    if log_file:
+        log_file.seek(0, 2)  # append-mode tell() is 0 until first write
     tb_writer = None
     if args.tb_dir:
         from tensorboardX import SummaryWriter

@@ -320,6 +320,14 @@ class PogemaCore:
                 def regen(ns):
                     keys = jax.vmap(_advance_key)(ns.key)
                     fresh = jax.vmap(reset_env)(keys)
+                    # A failed mid-training regeneration (bounded placement
+                    # retries exhausted, placement_ok=False) must not leak
+                    # garbage into training the way reset()'s loud host
+                    # check catches at t=0: fall back to that env's
+                    # validated reset-time state (key still advanced, so
+                    # the next episode re-rolls a different map).
+                    fallback = initial_state.replace(key=keys)
+                    fresh = select_done(fresh.placement_ok, fresh, fallback)
                     return select_done(done, fresh, ns)
 
                 reset_state = jax.lax.cond(
@@ -335,10 +343,18 @@ class PogemaCore:
         return step_auto
 
     def step_autoreset(self, state, initial_state, actions):
-        """Auto-resetting step. ``initial_state`` is the pytree returned by
-        :meth:`reset` (used by 'cached' mode; pass the same object each
-        call). Returns (state, obs_after_reset, StepResult, done, metrics).
-        StepResult holds the PRE-reset rewards/flags/obs of this step;
+        """Auto-resetting step. ``initial_state`` MUST be the unmodified
+        pytree returned by :meth:`reset` (pass the same object each
+        call): 'cached' mode restores finished envs from it, and as an
+        optimization the episode-invariant leaves (obstacles,
+        placement_ok, and target_queue/targets_xy) are taken from the
+        RUNNING state rather than selected — correct exactly because
+        step never writes them and ``initial_state`` is reset's output;
+        a hand-modified ``initial_state`` would see those leaves
+        silently ignored. For custom curriculum resets, call
+        :meth:`reset` and swap states on the host instead. Returns
+        (state, obs_after_reset, StepResult, done, metrics). StepResult
+        holds the PRE-reset rewards/flags/obs of this step;
         ``obs_after_reset`` is what a learner should see next."""
         return self._step_auto(state, initial_state, self._as_actions(actions))
 

@@ -185,7 +185,17 @@ class Pogema(gymnasium.Env):
         if ignore_borders:
             r = self._cfg.obs_radius
             x, y = x + r, y + r
-        return bool(np.asarray(self._state.obstacles[0])[x, y])
+        grid = np.asarray(self._state.obstacles[0])
+        # Explicit range check: numpy would silently WRAP negative
+        # indices to the far border (wrong answer) while over-large ones
+        # raise — make both directions raise consistently.
+        if not (0 <= x < grid.shape[0] and 0 <= y < grid.shape[1]):
+            raise IndexError(
+                f"cell ({x}, {y}) outside the "
+                f"{'padded ' if not ignore_borders else ''}grid "
+                f"{grid.shape}"
+            )
+        return bool(grid[x, y])
 
     def hide_agent(self, agent_idx: int) -> bool:
         """Deactivate one agent: it vanishes from other agents' observation

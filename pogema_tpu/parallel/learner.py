@@ -52,8 +52,9 @@ class TrainState:
     key: jnp.ndarray
 
 
-def init_train_state(core, model, params, config: PPOConfig, key) -> tuple:
-    """Returns (TrainState, optax optimizer)."""
+def _init_state(core, params, config: PPOConfig, key, with_obs: bool):
+    """Shared by both init flavors so the optimizer chain can never
+    silently diverge between the obs-based and fused paths."""
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.lr),
@@ -66,11 +67,58 @@ def init_train_state(core, model, params, config: PPOConfig, key) -> tuple:
             opt_state=tx.init(params),
             env_state=env_state,
             initial_env_state=env_state,
-            obs=obs,
+            obs=obs if with_obs else None,
             key=key,
         ),
         tx,
     )
+
+
+def init_train_state(core, model, params, config: PPOConfig, key) -> tuple:
+    """Returns (TrainState, optax optimizer)."""
+    return _init_state(core, params, config, key, with_obs=True)
+
+
+def _epoch_mix(key, n, minibatches):
+    """Per-epoch minibatch partition WITHOUT a row gather (``x[perm]``
+    over [T*B, ...] serializes on TPU, ~25 ms/epoch at 64x1024).
+
+    Returns mix(x): [n, ...] -> [n // M, M, ...] with minibatch = axis 1.
+    A pure random roll is NOT a reshuffle: reshape (mb, M) puts row r in
+    minibatch (r + shift) % M, and the *unordered* partition {rows == j
+    (mod M)} is the same residue-class family for every shift. Instead
+    the roll is composed with a granularity-g block interleave —
+    reshape (n/(M*g), M, g), swap, flatten — which places row r in
+    minibatch (r // g) % M. Across epochs g is drawn from the powers of
+    two dividing mb and the shift re-blocks rows within each family
+    (for g > 1 a translation changes which rows share a g-block), so
+    minibatch composition genuinely varies. All branches are reshapes /
+    relayouts under one lax.switch — no gathers."""
+    mb = n // minibatches
+    gs = [g for g in (1, 2, 4, 8, 16, 32, 64, 128) if mb % g == 0]
+    k_shift, k_g = jax.random.split(key)
+    shift = jax.random.randint(k_shift, (), 0, n)
+    g_idx = jax.random.randint(k_g, (), 0, len(gs))
+
+    def mk(g):
+        def f(x):
+            x = jnp.roll(x, shift, axis=0)
+            x = x.reshape((n // (minibatches * g), minibatches, g) + x.shape[1:])
+            x = jnp.swapaxes(x, 1, 2)
+            return x.reshape((mb, minibatches) + x.shape[3:])
+
+        return f
+
+    branches = [mk(g) for g in gs]
+    return lambda x: lax.switch(g_idx, branches, x)
+
+
+def _check_minibatch_divisibility(n, minibatches, what):
+    if n % minibatches:
+        raise ValueError(
+            f"{what} ({n}) must be divisible by minibatches "
+            f"({minibatches}); adjust rollout_steps/num_envs/minibatches"
+        )
 
 
 def compute_gae(traj: Transition, last_values, gamma, lam):
@@ -96,23 +144,7 @@ def compute_gae(traj: Transition, last_values, gamma, lam):
 def init_fused_train_state(core, model, params, config: PPOConfig, key):
     """TrainState for the fused (obs-free) path: same as
     :func:`init_train_state` but no observation tensor is ever held."""
-    tx = optax.chain(
-        optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.lr),
-    )
-    key, k_reset = jax.random.split(key)
-    env_state, _ = core.reset(k_reset)
-    return (
-        TrainState(
-            params=params,
-            opt_state=tx.init(params),
-            env_state=env_state,
-            initial_env_state=env_state,
-            obs=None,
-            key=key,
-        ),
-        tx,
-    )
+    return _init_state(core, params, config, key, with_obs=False)
 
 
 def _check_static_maps(core, config: PPOConfig):
@@ -293,22 +325,15 @@ def make_fused_train_step(core, model, config: PPOConfig, tx):
         )
         env_ids = jnp.tile(jnp.arange(b, dtype=jnp.int32), t_steps)
         n = t_steps * b
+        _check_minibatch_divisibility(n, config.minibatches,
+                                      "rollout rows T*B")
         mb = n // config.minibatches
         iota_b = jnp.arange(b, dtype=jnp.int32)
 
         def epoch(carry, _):
             params, opt_state, key = carry
-            key, k_roll = jax.random.split(key)
-            # Roll + stride partition instead of a row-permutation gather:
-            # x[perm] over [T*B, ...] serializes on TPU (~25 ms/epoch at
-            # 64x1024 — gathers are poison, ops/windows.py). jnp.roll is a
-            # relayout, and the [mb, M] reshape puts row r in minibatch
-            # (r - shift) % M — every minibatch interleaves all timesteps
-            # and envs, reshuffled each epoch by the random shift.
-            shift = jax.random.randint(k_roll, (), 0, n)
-            mix = lambda x: jnp.roll(x, shift, axis=0).reshape(
-                (mb, config.minibatches) + x.shape[1:]
-            )
+            key, k_mix = jax.random.split(key)
+            mix = _epoch_mix(k_mix, n, config.minibatches)
             shuffled = jax.tree.map(mix, dataset)
             ids_shuffled = mix(env_ids)
 
@@ -383,12 +408,13 @@ def _make_fused_pre_train_step(core, config: PPOConfig, tx, apply_pre,
             traj, last_values, config.gamma, config.gae_lambda
         )
 
-        # Dataset stays [T, B, ...]: minibatches are strided slices of
-        # the TIME axis (every env in every minibatch), reshuffled per
-        # epoch by a random roll — no row gathers, no grid re-selection,
-        # and the 'data' sharding of B is never reshaped away.
+        # Dataset stays [T, B, ...]: minibatches are interleaved slices
+        # of the TIME axis (every env in every minibatch), remixed per
+        # epoch (_epoch_mix) — no row gathers, no grid re-selection, and
+        # the 'data' sharding of B is never reshaped away.
         t_steps = traj.actions.shape[0]
-        tsub = t_steps // config.minibatches
+        _check_minibatch_divisibility(t_steps, config.minibatches,
+                                      "rollout_steps")
         dataset = (
             traj.agents_xy,
             traj.targets_xy,
@@ -401,11 +427,8 @@ def _make_fused_pre_train_step(core, config: PPOConfig, tx, apply_pre,
 
         def epoch(carry, _):
             params, opt_state, key = carry
-            key, k_roll = jax.random.split(key)
-            shift = jax.random.randint(k_roll, (), 0, t_steps)
-            mix = lambda x: jnp.roll(x, shift, axis=0).reshape(
-                (tsub, config.minibatches) + x.shape[1:]
-            )
+            key, k_mix = jax.random.split(key)
+            mix = _epoch_mix(k_mix, t_steps, config.minibatches)
             shuffled = jax.tree.map(mix, dataset)
 
             def minibatch(carry, i):
@@ -473,17 +496,16 @@ def make_train_step(core, model, config: PPOConfig, tx):
             flat(targets),
         )
         n = dataset[1].shape[0]
+        _check_minibatch_divisibility(n, config.minibatches,
+                                      "rollout rows T*B*N")
         mb = n // config.minibatches
 
         def epoch(carry, _):
             params, opt_state, key = carry
-            key, k_roll = jax.random.split(key)
-            # Roll + stride partition, not a row-permutation gather (see
-            # make_fused_train_step.epoch for the rationale).
-            shift = jax.random.randint(k_roll, (), 0, n)
-            mix = lambda x: jnp.roll(x, shift, axis=0).reshape(
-                (mb, config.minibatches) + x.shape[1:]
-            )
+            key, k_mix = jax.random.split(key)
+            # Interleave-mix, not a row-permutation gather (see
+            # _epoch_mix for the rationale).
+            mix = _epoch_mix(k_mix, n, config.minibatches)
             shuffled = jax.tree.map(mix, dataset)
 
             def minibatch(carry, i):

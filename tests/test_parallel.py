@@ -149,3 +149,29 @@ def test_scaling_harness_smoke(small_setup):
     with mesh:
         rate_sh = scaling.measure(core, 16, 2, steps=3, mesh=mesh)
     assert rate_sh > 0
+
+
+def test_epoch_mix_is_varying_partition():
+    """_epoch_mix must (a) produce a valid partition (every row exactly
+    once), (b) put minibatch on axis 1, and (c) actually VARY the
+    unordered partition across keys — the property the pure random roll
+    silently lacked (its partition is the constant residue-class family
+    for every shift)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pogema_tpu.parallel.learner import _epoch_mix
+
+    n, m = 64, 4
+    rows = jnp.arange(n)
+    partitions = set()
+    for s in range(12):
+        mix = _epoch_mix(jax.random.key(s), n, m)
+        out = np.asarray(jax.jit(mix)(rows))  # [mb, M]
+        assert out.shape == (n // m, m)
+        assert sorted(out.reshape(-1).tolist()) == list(range(n))
+        partitions.add(
+            frozenset(frozenset(out[:, j].tolist()) for j in range(m))
+        )
+    assert len(partitions) > 1, "partition never varies across epochs"
