@@ -138,3 +138,43 @@ def test_lifelong_step_and_obs_scale_matches_cpu():
     np.testing.assert_array_equal(obs_dev, obs_cpu, err_msg="obs diverged")
     assert sum_dev == sum_cpu, f"obs checksum diverged: {sum_dev} != {sum_cpu}"
     assert goals_dev.sum() > 0  # respawn path actually exercised
+
+
+def test_regen_autoreset_scale_matches_cpu():
+    """64 steps with 'regen' auto-reset and a short time limit at
+    B=1024: on-device map/placement REgeneration runs inside the
+    step_auto cond under vmap — a different fusion context from the
+    reset-only test, which is exactly where this miscompile family
+    lives (each primitive can probe clean while the fused composition
+    is wrong)."""
+    from pogema_tpu import GridConfig, PogemaCore
+
+    cfg = GridConfig(seed=0, size=32, num_agents=16, obs_radius=5,
+                     max_episode_steps=16, on_target="finish")
+    n_steps, batch = 64, 1024
+    rng = np.random.default_rng(3)
+    actions = rng.integers(0, 5, size=(n_steps, batch, 16)).astype(np.int32)
+
+    def rollout(core):
+        state, _ = core.reset(core.make_key(9))
+        initial = state
+        acts = jax.device_put(actions)
+        for t in range(n_steps):
+            state, _, _, _, _ = core.step_autoreset(state, initial, acts[t])
+        return (np.asarray(state.agents_xy), np.asarray(state.obstacles),
+                np.asarray(state.placement_ok))
+
+    core = PogemaCore(cfg, num_envs=batch, device="default",
+                      auto_reset_mode="regen")
+    xy_dev, obst_dev, ok_dev = rollout(core)
+    cpu = _cpu_device()
+    with jax.default_device(cpu):
+        core_cpu = PogemaCore(cfg, num_envs=batch, device="cpu",
+                              auto_reset_mode="regen")
+        xy_cpu, obst_cpu, ok_cpu = rollout(core_cpu)
+
+    np.testing.assert_array_equal(xy_dev, xy_cpu)
+    np.testing.assert_array_equal(obst_dev, obst_cpu,
+                                  err_msg="regenerated maps diverged")
+    np.testing.assert_array_equal(ok_dev, ok_cpu)
+    assert ok_dev.all()
