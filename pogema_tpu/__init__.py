@@ -65,4 +65,8 @@ def __getattr__(name):
         from . import a_star_policy
 
         return getattr(a_star_policy, name)
+    if name == "GlobalPlannerPolicy":
+        from .planner_policy import GlobalPlannerPolicy
+
+        return GlobalPlannerPolicy
     raise AttributeError(f"module 'pogema_tpu' has no attribute {name!r}")

@@ -106,9 +106,19 @@ class PPOPolicy:
         pass
 
 
+def _planner_factory(**kwargs):
+    # Lazy import: the planner pulls in the jitted device core.
+    from .planner_policy import GlobalPlannerPolicy
+
+    return GlobalPlannerPolicy(**kwargs)
+
+
 register_algo("A*", BatchAStarAgent)
 register_algo("random", _RandomPolicy)
 register_algo("PPO", PPOPolicy)
+# Centralized shortest-path baseline (privileged, needs
+# observation_type='MAPF' in the environment kwargs).
+register_algo("Planner", _planner_factory)
 
 
 def run_episode(env, policy, max_steps: int = 10_000) -> dict:
