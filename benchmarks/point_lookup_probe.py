@@ -1,0 +1,163 @@
+"""point_lookup variants at config-C scale (4096 envs x 64 agents, P=74).
+
+The obstacle-validation lookup is the largest single term of the config C
+step (~0.36 ms of ~0.65 incl. the one-hot build, config_c_probe.py).
+Candidates differ in intermediate dtype/order — the op is HBM-traffic
+bound (t1 [B, N, P] f32 is 76 MB per step), not FLOP-bound.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+STEPS = 256
+B, N, P = 4096, 64, 74
+
+key = jax.random.key(0)
+kg, kx, ka = jax.random.split(key, 3)
+grid = (jax.random.uniform(kg, (B, P, P)) < 0.3).astype(jnp.uint8)
+xy0 = jax.random.randint(kx, (B, N, 2), 1, P - 1, dtype=jnp.int32)
+
+
+def onehot(idx, size, dtype=jnp.bfloat16):
+    return (idx[..., None] == jnp.arange(size, dtype=jnp.int32)).astype(dtype)
+
+
+def v0_current(g, xy):
+    gg = g.astype(jnp.bfloat16)
+    oh_r = onehot(xy[:, 0], P)
+    oh_c = onehot(xy[:, 1], P)
+    t1 = jnp.einsum("np,pq->nq", oh_r, gg, preferred_element_type=jnp.float32)
+    return jnp.einsum("nq,nq->n", t1.astype(jnp.bfloat16), oh_c,
+                      preferred_element_type=jnp.float32)
+
+
+def v1_bf16_t1(g, xy):
+    gg = g.astype(jnp.bfloat16)
+    oh_r = onehot(xy[:, 0], P)
+    oh_c = onehot(xy[:, 1], P)
+    t1 = jnp.einsum("np,pq->nq", oh_r, gg, preferred_element_type=jnp.bfloat16)
+    return jnp.einsum("nq,nq->n", t1, oh_c,
+                      preferred_element_type=jnp.float32)
+
+
+def v2_single(g, xy):
+    gg = g.astype(jnp.bfloat16)
+    oh_r = onehot(xy[:, 0], P)
+    oh_c = onehot(xy[:, 1], P)
+    return jnp.einsum("np,pq,nq->n", oh_r, gg, oh_c,
+                      preferred_element_type=jnp.float32)
+
+
+def v3_col_first(g, xy):
+    gg = g.astype(jnp.bfloat16)
+    oh_r = onehot(xy[:, 0], P)
+    oh_c = onehot(xy[:, 1], P)
+    t1 = jnp.einsum("nq,pq->np", oh_c, gg, preferred_element_type=jnp.bfloat16)
+    return jnp.einsum("np,np->n", t1, oh_r,
+                      preferred_element_type=jnp.float32)
+
+
+def v4_int8(g, xy):
+    gg = g.astype(jnp.int8)
+    oh_r = onehot(xy[:, 0], P, jnp.int8)
+    oh_c = onehot(xy[:, 1], P, jnp.int8)
+    t1 = jnp.einsum("np,pq->nq", oh_r, gg, preferred_element_type=jnp.int32)
+    return jnp.sum(t1.astype(jnp.int8) * oh_c, axis=-1).astype(jnp.float32)
+
+
+def v5_mask_reduce(g, xy):
+    # No MXU at all: masked reduce over rows selected by equality.
+    # (Tests whether the VPU beats tiny matmuls at this shape.)
+    gg = g.astype(jnp.float32)
+    sel_r = xy[:, 0, None] == jnp.arange(P, dtype=jnp.int32)  # [N, P] bool
+    sel_c = xy[:, 1, None] == jnp.arange(P, dtype=jnp.int32)
+    picked_rows = jnp.einsum("np,pq->nq", sel_r.astype(jnp.bfloat16),
+                             gg.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.bfloat16)
+    return jnp.sum(jnp.where(sel_c, picked_rows.astype(jnp.float32), 0.0), -1)
+
+
+NIB = (P + 3) // 4  # nibbles per row
+
+
+def pack_nibbles(g):
+    """u8[P, P] -> bf16[P, NIB]: 4 columns per nibble (values 0-15,
+    exact in bf16)."""
+    pad = (-P) % 4
+    gp = jnp.pad(g.astype(jnp.int32), ((0, 0), (0, pad)))
+    gp = gp.reshape(P, NIB, 4)
+    weights = jnp.asarray([1, 2, 4, 8], jnp.int32)
+    return jnp.sum(gp * weights, axis=-1).astype(jnp.bfloat16)
+
+
+grid_nib = jax.jit(jax.vmap(pack_nibbles))(grid)
+
+
+def v6_nibble(gn, xy):
+    # gn: bf16[P, NIB] (precomputed per episode — obstacles are
+    # episode-invariant). Row select on the MXU at 1/4 the columns,
+    # then nibble select + bit extract elementwise.
+    oh_r = onehot(xy[:, 0], P)
+    t1 = jnp.einsum("np,pj->nj", oh_r, gn,
+                    preferred_element_type=jnp.float32)  # [N, NIB]
+    col = xy[:, 1]
+    nib_idx = col // 4
+    oh_n = nib_idx[:, None] == jnp.arange(NIB, dtype=jnp.int32)
+    nib = jnp.sum(jnp.where(oh_n, t1, 0.0), axis=-1).astype(jnp.int32)
+    bit = (nib >> (col % 4)) & 1
+    return bit.astype(jnp.float32)
+
+
+def bench(name, fn, operand=None):
+    vf = jax.vmap(fn)
+    operand = grid if operand is None else operand
+
+    def body(c, _):
+        xy, k = c
+        k, ks = jax.random.split(k)
+        # jitter positions so the lookup isn't constant-folded
+        d = jax.random.randint(ks, (B, N, 2), -1, 2, dtype=jnp.int32)
+        xy = jnp.clip(xy + d, 1, P - 2)
+        vals = vf(operand, xy)
+        return (xy, k), vals.sum()
+
+    @jax.jit
+    def run(xy, k):
+        (_, _), out = lax.scan(body, (xy, k), None, length=STEPS)
+        return out.sum()
+
+    out = run(xy0, ka)
+    jax.block_until_ready(out)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(xy0, ka)
+        float(out)
+        dt = min(dt, time.perf_counter() - t0)
+    print(json.dumps({"variant": name,
+                      "ms_per_step": round(dt / STEPS * 1e3, 4)}), flush=True)
+    return out
+
+
+ref = None
+for name, fn, op in [("v0_current", v0_current, None),
+                     ("v1_bf16_t1", v1_bf16_t1, None),
+                     ("v2_single", v2_single, None),
+                     ("v3_col_first", v3_col_first, None),
+                     ("v4_int8", v4_int8, None),
+                     ("v5_mask_reduce", v5_mask_reduce, None),
+                     ("v6_nibble", v6_nibble, grid_nib)]:
+    out = bench(name, fn, op)
+    if ref is None:
+        ref = float(out)
+    else:
+        assert abs(float(out) - ref) < 1e-3, (name, float(out), ref)

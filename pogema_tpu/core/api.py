@@ -300,7 +300,7 @@ class PogemaCore:
                 # (~22 MB at config C, ~10% of the step), the respawn
                 # queue [B, N, Q], targets_xy [B, N, 2] (static outside
                 # LifeLong).
-                invariant = {"obstacles", "placement_ok"}
+                invariant = {"obstacles", "obstacle_nibbles", "placement_ok"}
                 invariant.add(
                     "target_queue" if cfg.on_target == "restart" else "targets_xy"
                 )

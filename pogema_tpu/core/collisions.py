@@ -42,16 +42,20 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..grid_config import MOVES, StaticConfig
-from ..ops.windows import point_lookup
+from ..ops.windows import point_lookup, point_lookup_packed
 
 # Host constants (numpy, NOT device arrays: module-level device arrays
 # get embedded as jit constants via a device->host fetch at lowering).
 _MOVES = _np.asarray(MOVES, _np.int32)
 
 
-def propose(obstacles, agents_xy, active, actions):
+def propose(obstacles, agents_xy, active, actions, obstacles_nib=None):
     """Proposed positions after obstacle/bounds validation (the obstacle
     border of width obs_radius >= 1 makes bounds checks free).
+
+    ``obstacles_nib``: optional nibble-packed obstacle columns
+    (EnvState.obstacle_nibbles) — 4x less lookup traffic, bit-identical
+    result; falls back to the raw-grid lookup when None.
 
     Returns (desired i32[N, 2], moving bool[N]) where desired == current
     for blocked/inactive/staying agents.
@@ -61,7 +65,10 @@ def propose(obstacles, agents_xy, active, actions):
     act_oh = (actions[:, None] == jnp.arange(5)[None, :]).astype(jnp.int32)
     deltas = act_oh @ jnp.asarray(_MOVES)  # [N, 2]
     proposed = agents_xy + deltas
-    hits_obstacle = point_lookup(obstacles, proposed) > 0.5
+    if obstacles_nib is not None:
+        hits_obstacle = point_lookup_packed(obstacles_nib, proposed) > 0.5
+    else:
+        hits_obstacle = point_lookup(obstacles, proposed) > 0.5
     valid = active & ~hits_obstacle
     desired = jnp.where(valid[:, None], proposed, agents_xy)
     # Flat cell ids: all conflict predicates become single i32 compares
@@ -90,9 +97,10 @@ def _pack_bits(x):
     return jnp.sum(xw.astype(jnp.uint32) * powers, axis=-1, dtype=jnp.uint32)
 
 
-def resolve_priority(obstacles, agents_xy, active, actions):
+def resolve_priority(obstacles, agents_xy, active, actions, obstacles_nib=None):
     n = agents_xy.shape[0]
-    desired, des_cells, cur_cells, moving = propose(obstacles, agents_xy, active, actions)
+    desired, des_cells, cur_cells, moving = propose(
+        obstacles, agents_xy, active, actions, obstacles_nib)
 
     tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]  # [i, j]: t_i == c_j
     idx = jnp.arange(n)
@@ -128,8 +136,9 @@ def resolve_priority(obstacles, agents_xy, active, actions):
     return jnp.where(m[:, None], desired, agents_xy)
 
 
-def resolve_block_both(obstacles, agents_xy, active, actions):
-    desired, des_cells, cur_cells, moving = propose(obstacles, agents_xy, active, actions)
+def resolve_block_both(obstacles, agents_xy, active, actions, obstacles_nib=None):
+    desired, des_cells, cur_cells, moving = propose(
+        obstacles, agents_xy, active, actions, obstacles_nib)
     n = agents_xy.shape[0]
     not_self = ~jnp.eye(n, dtype=bool)
     # (b) target is someone's current cell; (c) someone else targets it too.
@@ -140,8 +149,9 @@ def resolve_block_both(obstacles, agents_xy, active, actions):
     return jnp.where(m[:, None], desired, agents_xy)
 
 
-def resolve_soft(obstacles, agents_xy, active, actions):
-    desired, des_cells, cur_cells, moving = propose(obstacles, agents_xy, active, actions)
+def resolve_soft(obstacles, agents_xy, active, actions, obstacles_nib=None):
+    desired, des_cells, cur_cells, moving = propose(
+        obstacles, agents_xy, active, actions, obstacles_nib)
     n = agents_xy.shape[0]
     not_self = ~jnp.eye(n, dtype=bool)
     act = active[None, :]
@@ -172,6 +182,46 @@ def resolve_soft(obstacles, agents_xy, active, actions):
     return jnp.where(m[:, None], desired, agents_xy)
 
 
+def priority_fixpoint_depth(obstacles, agents_xy, active, actions,
+                            obstacles_nib=None):
+    """Diagnostic twin of :func:`resolve_priority`: the number of Jacobi
+    passes until the fixpoint (== the longest follow-chain depth this
+    step, the iteration count the while_loop actually pays). i32 scalar
+    for one env; vmap over a batch and reduce for a profile.
+
+    The worst case is N (a full N-agent follow chain whose index order
+    opposes the motion direction); measured on random policies it is 3-4
+    at 128 agents (benchmarks/fixpoint_probe.py). Use this to instrument
+    adversarial policies that might form long chains (CLAUDE.md
+    "fixpoint worst case"). Off the hot path — compiled only when called.
+    """
+    n = agents_xy.shape[0]
+    _, des_cells, cur_cells, moving = propose(
+        obstacles, agents_xy, active, actions, obstacles_nib)
+    tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]
+    earlier_active = (idx[None, :] < idx[:, None]) & active[None, :]
+    m0 = moving & ~jnp.any(tgt_on_cur & later, axis=1)
+    e1 = _pack_bits(_eq(des_cells, des_cells) & earlier_active)
+    e2 = _pack_bits(tgt_on_cur & earlier_active)
+
+    def body(carry):
+        m, _, it = carry
+        mp = _pack_bits(m)[None, :]
+        blocked = jnp.any(((e1 & mp) | (e2 & ~mp)) != 0, axis=-1)
+        return m0 & ~blocked, m, it + 1
+
+    def cond(carry):
+        m, prev, _ = carry
+        return jnp.any(m != prev)
+
+    _, _, depth = lax.while_loop(
+        cond, body, (m0, jnp.zeros_like(m0) | ~m0, jnp.int32(0))
+    )
+    return depth
+
+
 _RESOLVERS = {
     "priority": resolve_priority,
     "block_both": resolve_block_both,
@@ -179,15 +229,19 @@ _RESOLVERS = {
 }
 
 
-def resolve_moves(cfg: StaticConfig, obstacles, agents_xy, active, actions):
+def resolve_moves(cfg: StaticConfig, obstacles, agents_xy, active, actions,
+                  obstacles_nib=None):
     """Dispatch on the (static) collision system. ``obstacles`` is the
-    padded u8[P, P] grid of one env."""
+    padded u8[P, P] grid of one env; ``obstacles_nib`` the optional
+    nibble-packed companion (EnvState.obstacle_nibbles)."""
     if cfg.num_agents == 1:
         # Single agent: no agent-agent conflict is possible under ANY
         # system, so the obstacle-validated proposal IS the resolution.
         # Cuts the [N, N] machinery and the fixpoint while_loop from the
         # program — at B=1 (config A) the step is op-count-bound, not
         # FLOP-bound, so dead tiny ops dominate the step latency.
-        desired, _, _, _ = propose(obstacles, agents_xy, active, actions)
+        desired, _, _, _ = propose(obstacles, agents_xy, active, actions,
+                                   obstacles_nib)
         return desired
-    return _RESOLVERS[cfg.collision_system](obstacles, agents_xy, active, actions)
+    return _RESOLVERS[cfg.collision_system](obstacles, agents_xy, active,
+                                            actions, obstacles_nib)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..grid_config import StaticConfig
+from ..ops import windows as windows_mod
 from . import collisions, generator, obs as obs_mod
 from .types import EnvState, StepResult
 
@@ -63,6 +64,7 @@ def reset_one(
         )
     return EnvState(
         obstacles=grid,
+        obstacle_nibbles=windows_mod.pack_nibbles(grid),
         agents_xy=agents_xy,
         targets_xy=targets_xy,
         target_queue=target_queue,
@@ -88,7 +90,8 @@ def step_one(cfg: StaticConfig, state: EnvState, actions):
     n = cfg.num_agents
 
     new_xy = collisions.resolve_moves(
-        cfg, state.obstacles, state.agents_xy, state.active, actions
+        cfg, state.obstacles, state.agents_xy, state.active, actions,
+        obstacles_nib=state.obstacle_nibbles,
     )
     on_goal = jnp.all(new_xy == state.targets_xy, axis=-1) & state.active
 

@@ -49,6 +49,12 @@ class EnvState:
     # (unplaceable config). Host callers (PogemaCore.reset, the rim) check
     # this and raise loudly — the reference raises on unplaceable configs.
     placement_ok: jnp.ndarray = True
+    # bf16[..., P, ceil(P/4)] nibble-packed obstacle columns (episode-
+    # invariant, built once per reset): the move-validation lookup
+    # contracts against 4x fewer columns than the raw grid — see
+    # ops.windows.pack_nibbles. None in states built by legacy callers;
+    # the step path then falls back to the unpacked lookup.
+    obstacle_nibbles: jnp.ndarray = None
 
     @property
     def batch_shape(self):

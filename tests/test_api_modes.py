@@ -36,6 +36,18 @@ def test_point_lookup():
     assert np.array_equal(got, want)
 
 
+def test_point_lookup_packed_matches_unpacked():
+    from pogema_tpu.ops.windows import pack_nibbles, point_lookup_packed
+
+    rng = np.random.default_rng(5)
+    for p in (7, 12, 18, 74):  # incl. non-multiple-of-4 widths
+        grid = rng.integers(0, 2, size=(p, p)).astype(np.uint8)
+        xy = rng.integers(0, p, size=(33, 2)).astype(np.int32)
+        want = np.asarray(point_lookup(grid, xy))
+        got = np.asarray(point_lookup_packed(pack_nibbles(grid), xy))
+        assert np.array_equal(got, want), p
+
+
 def test_pairwise_agent_windows():
     xy = np.array([[5, 5], [5, 6], [9, 9], [2, 5]], np.int32)
     active = np.array([True, True, True, False])

@@ -276,3 +276,38 @@ def test_single_agent_fast_path_matches_general_resolvers():
             ref = np.asarray(fn(jnp.asarray(grid), jnp.asarray(xy),
                                 jnp.asarray(active), jnp.asarray(action)))
             assert np.array_equal(fast, ref), (trial, name)
+
+
+def test_priority_fixpoint_depth_instrumentation():
+    """priority_fixpoint_depth: ~chain-length passes for a wall-blocked
+    follow chain in adversarial index order, small for random traffic."""
+    k = 16
+    cfg = make_cfg(k, "priority", size=k + 4)
+    grid = empty_grid(cfg)
+    r = cfg.obs_radius
+    row = r + 1
+    wall_col = r + k + 1
+    grid[row, wall_col] = 1
+    # Agent i at column wall_col-1-i: agent 0 is at the wall; everyone
+    # moves right, so each pass can only block one more agent (agent i's
+    # blocker is the FINAL position of lower-indexed agent i-1).
+    xy = np.array([[row, wall_col - 1 - i] for i in range(k)], np.int32)
+    actions = np.full(k, RIGHT, np.int32)
+    depth = int(collisions.priority_fixpoint_depth(
+        jnp.asarray(grid), jnp.asarray(xy), jnp.ones(k, bool),
+        jnp.asarray(actions)))
+    assert k - 1 <= depth <= k + 2, depth
+    # Nobody moves (the whole chain is blocked).
+    out = resolve(cfg, grid, xy, np.ones(k, bool), actions)
+    assert out == xy.tolist()
+
+    # Random traffic converges in a handful of passes.
+    rng = np.random.default_rng(1)
+    cfg2 = make_cfg(8, "priority")
+    grid2 = empty_grid(cfg2)
+    free = np.argwhere(grid2 == 0)
+    sel = free[rng.choice(len(free), size=8, replace=False)].astype(np.int32)
+    depth2 = int(collisions.priority_fixpoint_depth(
+        jnp.asarray(grid2), jnp.asarray(sel), jnp.ones(8, bool),
+        jnp.asarray(rng.integers(0, 5, size=8).astype(np.int32))))
+    assert 1 <= depth2 <= 6, depth2
