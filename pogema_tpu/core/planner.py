@@ -201,11 +201,12 @@ def make_planner_policy(cfg: StaticConfig, avoid_agents: bool = True,
     return plan, act
 
 
-def evaluate_planner(core, seed: int = 0, avoid_agents: bool = True):
-    """Run one full batched episode (B envs to the time limit) under the
-    greedy planner, entirely on device. Returns {metric: f32[B]} plus the
-    final state. The distance fields are computed once at reset and
-    reused every step — the rollout is a single jitted ``lax.scan``.
+def make_planner_evaluator(core, avoid_agents: bool = True):
+    """Compile-once batched planner evaluation: returns ``run(key) ->
+    (final_state, {metric: f32[B]})``, a jitted function running one full
+    episode (B envs to the time limit) on device — reset, per-agent BFS
+    fields (computed once), greedy-descent scan. Build it once and call
+    it per seed; rebuilding re-traces (~minutes of XLA compile at scale).
 
     ``core``: a :class:`~pogema_tpu.core.api.PogemaCore` with a static-
     target mode ('finish'/'nothing'); raises for LifeLong."""
@@ -214,9 +215,9 @@ def evaluate_planner(core, seed: int = 0, avoid_agents: bool = True):
 
     if core.cfg.on_target == "restart":
         raise ValueError(
-            "evaluate_planner needs static targets; LifeLong respawns "
-            "change goals mid-episode (use the host A* policy or "
-            "recompute fields at a cadence)"
+            "the planner evaluator needs static targets; LifeLong "
+            "respawns change goals mid-episode (use the host A* policy "
+            "or recompute fields at a cadence)"
         )
     cfg = core.cfg
     plan, act = make_planner_policy(cfg, avoid_agents=avoid_agents)
@@ -250,4 +251,19 @@ def evaluate_planner(core, seed: int = 0, avoid_agents: bool = True):
         metrics = jax.vmap(partial(metrics_mod.episode_metrics, cfg))(state)
         return state, metrics
 
+    return run
+
+
+_EVALUATORS = {}
+
+
+def evaluate_planner(core, seed: int = 0, avoid_agents: bool = True):
+    """One-call convenience over :func:`make_planner_evaluator` with a
+    per-(core, avoid_agents) compile cache, so repeated calls with
+    different seeds pay tracing/compilation once."""
+    cache_key = (id(core), avoid_agents)
+    run = _EVALUATORS.get(cache_key)
+    if run is None:
+        run = make_planner_evaluator(core, avoid_agents=avoid_agents)
+        _EVALUATORS[cache_key] = run
     return run(core.make_key(seed))
