@@ -32,10 +32,11 @@ def _parse_args():
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--agents", type=int, default=64)
     ap.add_argument("--size", type=int, default=64)
-    # 1024: each timed trial must be >= ~0.7 s so the fixed ~31 ms
+    # 2048: each timed trial must be ~1 s so the fixed ~31 ms
     # dispatch+fetch round trip through the tunnel (measured: config C
-    # 0.772 ms/step at 256 steps vs 0.651 at 1024+) stays under 5%.
-    ap.add_argument("--steps", type=int, default=1024)
+    # 0.772 ms/step at 256 steps vs 0.651 at 1024+) stays under 2%
+    # (post-nibble the step is 0.43 ms, so 1024 steps leaked ~7%).
+    ap.add_argument("--steps", type=int, default=2048)
     ap.add_argument("--obs-radius", type=int, default=5)
     ap.add_argument("--collision-system", default="priority")
     ap.add_argument("--on-target", default="finish")

@@ -143,7 +143,7 @@ def main():
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--collision-system", default="priority")
     args = ap.parse_args()
-    per_config_steps = {"A": 8192, "B": 16384, "C": 1024, "D": 1024, "E": 1024}
+    per_config_steps = {"A": 8192, "B": 16384, "C": 2048, "D": 1024, "E": 2048}
     for name in args.configs:
         steps = args.steps or per_config_steps.get(name, 1024)
         out = run_config(name, steps, args.collision_system)
