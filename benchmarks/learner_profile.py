@@ -117,6 +117,19 @@ def main():
     print(json.dumps({"stage": "train_step", "env_steps_per_s": round(denom / dt),
                       "ms": round(dt * 1e3, 2)}), flush=True)
 
+    # 3b. k train steps per dispatch: a single host->device round trip
+    # costs a fixed ~31 ms through the tunnel, so per-step timings above
+    # overstate the compute; this is the steady-state training rate.
+    from pogema_tpu.parallel import make_fused_train_many
+
+    kmany = 4
+    train_many = jax.jit(make_fused_train_many(core, model, ppo, tx, kmany))
+    dt = timeit(lambda: train_many(ts)[1]["loss"])
+    print(json.dumps({"stage": f"train_step_x{kmany}",
+                      "env_steps_per_s": round(kmany * denom / dt),
+                      "ms_per_train_step": round(dt / kmany * 1e3, 2)}),
+          flush=True)
+
     # 4. decompose the update at the REAL minibatch shapes of the 'pre'
     # path: roll-mix of the [T, B, ...] dataset vs one minibatch grad.
     n_agents = args.agents

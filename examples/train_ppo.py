@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--tb-dir", default=None,
                     help="TensorBoard log directory (tensorboardX); same "
                          "scalars as --log")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="fused model only: run K train steps per host "
+                         "dispatch (lax.scan) — each dispatch through a "
+                         "tunneled TPU costs a fixed ~31 ms, so K>1 "
+                         "recovers it; stats/logging then have K-step "
+                         "granularity. --iters (and --checkpoint-every "
+                         "if set) must be divisible by K.")
     ap.add_argument("--log-every", type=int, default=1,
                     help="fetch/print stats every k iters (device->host "
                          "fetches through the tunnel cost ~20 ms each; "
@@ -69,6 +76,7 @@ def main():
         PPOConfig,
         init_fused_train_state,
         init_train_state,
+        make_fused_train_many,
         make_fused_train_step,
         make_mesh,
         make_train_step,
@@ -121,8 +129,22 @@ def main():
         if args.model == "fused":
             ts, tx = init_fused_train_state(core, model, params, ppo,
                                             jax.random.key(1))
-            train_step = jax.jit(make_fused_train_step(core, model, ppo, tx))
+            if args.steps_per_dispatch > 1:
+                if args.iters % args.steps_per_dispatch:
+                    raise SystemExit("--iters must be divisible by "
+                                     "--steps-per-dispatch")
+                if (args.checkpoint_every
+                        and args.checkpoint_every % args.steps_per_dispatch):
+                    raise SystemExit("--checkpoint-every must be divisible "
+                                     "by --steps-per-dispatch")
+                train_step = jax.jit(make_fused_train_many(
+                    core, model, ppo, tx, args.steps_per_dispatch))
+            else:
+                train_step = jax.jit(
+                    make_fused_train_step(core, model, ppo, tx))
         else:
+            if args.steps_per_dispatch > 1:
+                raise SystemExit("--steps-per-dispatch needs --model fused")
             ts, tx = init_train_state(core, model, params, ppo,
                                       jax.random.key(1))
             ts = ts.replace(obs=shard_batch(ts.obs, mesh))
@@ -152,8 +174,10 @@ def main():
         steps_per_iter = args.envs * args.rollout_steps
         t0 = time.perf_counter()
         it_last = start_iter
-        for it in range(start_iter, args.iters):
+        kd = args.steps_per_dispatch
+        for it in range(start_iter, args.iters, kd):
             ts, stats = train_step(ts)
+            it = it + kd - 1  # last train step of this dispatch
             if args.checkpoint_every and (it + 1) % args.checkpoint_every == 0:
                 from pogema_tpu.utils.checkpoint import save_checkpoint
 

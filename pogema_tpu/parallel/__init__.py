@@ -5,6 +5,7 @@ from .learner import (
     make_train_step,
     init_train_state,
     make_fused_train_step,
+    make_fused_train_many,
     init_fused_train_state,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "make_train_step",
     "init_train_state",
     "make_fused_train_step",
+    "make_fused_train_many",
     "init_fused_train_state",
 ]

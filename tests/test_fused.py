@@ -214,3 +214,30 @@ def test_fused_rollout_sharding_invariance():
         np.asarray(ts1.env_state.agents_xy), np.asarray(ts2.env_state.agents_xy)
     )
     assert np.isfinite(float(stats2["loss"]))
+
+
+def test_fused_train_many_equals_sequential_steps():
+    """make_fused_train_many(k): TrainState after one k-dispatch is
+    bit-identical to k sequential train_step calls; stats are the k-mean
+    (episodes_finished summed)."""
+    from pogema_tpu.parallel import make_fused_train_many
+
+    core, model, ppo, ts, tx, make = _fused_setup()
+    step = jax.jit(make(core, model, ppo, tx))
+    many = jax.jit(make_fused_train_many(core, model, ppo, tx, 3))
+
+    ts_seq = ts
+    losses = []
+    for _ in range(3):
+        ts_seq, stats = step(ts_seq)
+        losses.append(float(stats["loss"]))
+    ts_many, stats_many = many(ts)
+
+    def as_np(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x)
+
+    for a, b in zip(jax.tree.leaves(ts_seq), jax.tree.leaves(ts_many)):
+        assert np.array_equal(as_np(a), as_np(b))
+    assert np.isclose(float(stats_many["loss"]), np.mean(losses), rtol=1e-5)
