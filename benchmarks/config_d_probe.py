@@ -79,9 +79,9 @@ def moves_body(c):
     xy, key = c
     key, a = act(key)
     nxy = jax.vmap(
-        lambda o, x, act_: collisions.resolve_moves(
-            scfg, o, x, jnp.ones(N, bool), act_)
-    )(state.obstacles, xy, a)
+        lambda o, onib, x, act_: collisions.resolve_moves(
+            scfg, o, x, jnp.ones(N, bool), act_, obstacles_nib=onib)
+    )(state.obstacles, state.obstacle_nibbles, xy, a)
     return (nxy, key), nxy.sum()
 
 
@@ -90,16 +90,16 @@ def moves_nofix_body(c):
     xy, key = c
     key, a = act(key)
 
-    def one_env(o, x, act_):
+    def one_env(o, onib, x, act_):
         desired, des_cells, cur_cells, moving = collisions.propose(
-            o, x, jnp.ones(N, bool), act_)
+            o, x, jnp.ones(N, bool), act_, onib)
         idx = jnp.arange(N)
         later = idx[None, :] > idx[:, None]
         tgt_on_cur = collisions._eq(des_cells, cur_cells)
         m0 = moving & ~jnp.any(tgt_on_cur & later, axis=1)
         return jnp.where(m0[:, None], desired, x)
 
-    nxy = jax.vmap(one_env)(state.obstacles, xy, a)
+    nxy = jax.vmap(one_env)(state.obstacles, state.obstacle_nibbles, xy, a)
     return (nxy, key), nxy.sum()
 
 

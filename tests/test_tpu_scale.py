@@ -178,3 +178,40 @@ def test_regen_autoreset_scale_matches_cpu():
                                   err_msg="regenerated maps diverged")
     np.testing.assert_array_equal(ok_dev, ok_cpu)
     assert ok_dev.all()
+
+
+def test_planner_distance_fields_scale_match_cpu():
+    """Planner BFS fields at batch scale, TPU vs CPU bit-equal.
+
+    distance_field composes four directional cummax relaxation scans per
+    sweep under vmap — the exact op family XLA:TPU miscompiled in the
+    flood fill at B >= ~1024 (labels leaking across segments when the
+    scans fuse). The planner uses the primitives' native reverse=/axis=
+    like the fixed flood fill, but per the defense policy any
+    batched-scan composition gets a scale pin."""
+    import jax.numpy as jnp
+
+    from pogema_tpu import GridConfig, PogemaCore
+    from pogema_tpu.core.planner import distance_fields
+
+    cfg = GridConfig(seed=3, size=64, density=0.3, num_agents=16,
+                     obs_radius=5, max_episode_steps=64)
+    core = PogemaCore(cfg, num_envs=1024, device="default")
+    state, _ = core.reset(jax.random.key(3))
+
+    fields = jax.jit(jax.vmap(distance_fields))
+    tpu = np.asarray(fields(state.obstacles, state.targets_xy))
+
+    cpu_dev = _cpu_device()
+    with jax.default_device(cpu_dev):
+        obst = jax.device_put(np.asarray(state.obstacles), cpu_dev)
+        txy = jax.device_put(np.asarray(state.targets_xy), cpu_dev)
+        cpu = np.asarray(fields(obst, txy))
+
+    assert np.array_equal(tpu, cpu)
+    # Sanity: every agent's own start is reachable (finite distance).
+    axy = np.asarray(state.agents_xy)
+    b = np.arange(axy.shape[0])[:, None]
+    n = np.arange(axy.shape[1])[None, :]
+    d_start = tpu[b, n, axy[..., 0], axy[..., 1]]
+    assert (d_start < 74 * 74).all()
