@@ -50,11 +50,12 @@ def run_config(name: str, steps: int, collision_system: str) -> dict:
     # Config E targets >= 2 hosts (BASELINE.md); on a single chip clamp
     # the env count so the program fits, and report the clamp.
     clamped_from = None
-    if name == "E" and len(jax.devices()) == 1 and envs > 1024:
-        # 8192x256 on 128x128 maps needs >16 GB HBM for the obs/step
-        # intermediates; at 2048 envs the runtime still faults the chip.
-        # Single-chip fallback: 1024 envs (config E is a >=2-host config).
-        clamped_from, envs = envs, 1024
+    if name == "E" and len(jax.devices()) == 1 and envs > 2048:
+        # 8192x256 on 128x128 maps needs >16 GB HBM for the step
+        # intermediates (4096 still OOMs at compile); 2048 fits since the
+        # nibble-packed lookup shrank the propose intermediates.
+        # Single-chip fallback: 2048 envs (config E is a >=2-host config).
+        clamped_from, envs = envs, 2048
     agents = spec.pop("agents")
     size = spec.pop("size")
     maze = spec.pop("maze")
