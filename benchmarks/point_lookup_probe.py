@@ -117,6 +117,35 @@ def v6_nibble(gn, xy):
     return bit.astype(jnp.float32)
 
 
+ROWG = (P + 3) // 4  # row groups of 4
+
+
+def pack_nibbles_2level(g):
+    """bf16[ROWG, 4, NIB]: grid_nib rows padded to 4*ROWG and grouped."""
+    gn = pack_nibbles(g)  # [P, NIB]
+    pad = 4 * ROWG - P
+    gn = jnp.pad(gn, ((0, pad), (0, 0)))
+    return gn.reshape(ROWG, 4, NIB)
+
+
+def v7_nibble_2level(g2, xy):
+    # Row index r = 4a + b: one-hots shrink to [N, 19] + [N, 4]; the
+    # matmul contracts a against G4 [19, 4*19] and b selects elementwise.
+    a_idx, b_idx = xy[:, 0] // 4, xy[:, 0] % 4
+    oh_a = onehot(a_idx, ROWG)  # [N, ROWG]
+    t = jnp.einsum("na,abj->nbj", oh_a, g2,
+                   preferred_element_type=jnp.float32)  # [N, 4, NIB]
+    oh_b = b_idx[:, None] == jnp.arange(4, dtype=jnp.int32)
+    trow = jnp.sum(jnp.where(oh_b[:, :, None], t, 0.0), axis=1)  # [N, NIB]
+    col = xy[:, 1]
+    oh_n = col[:, None] // 4 == jnp.arange(NIB, dtype=jnp.int32)
+    nib = jnp.sum(jnp.where(oh_n, trow, 0.0), axis=-1).astype(jnp.int32)
+    return ((nib >> (col % 4)) & 1).astype(jnp.float32)
+
+
+grid_nib2 = jax.jit(jax.vmap(pack_nibbles_2level))(grid)
+
+
 def bench(name, fn, operand=None):
     vf = jax.vmap(fn)
     operand = grid if operand is None else operand
@@ -155,7 +184,8 @@ for name, fn, op in [("v0_current", v0_current, None),
                      ("v3_col_first", v3_col_first, None),
                      ("v4_int8", v4_int8, None),
                      ("v5_mask_reduce", v5_mask_reduce, None),
-                     ("v6_nibble", v6_nibble, grid_nib)]:
+                     ("v6_nibble", v6_nibble, grid_nib),
+                     ("v7_nibble_2level", v7_nibble_2level, grid_nib2)]:
     out = bench(name, fn, op)
     if ref is None:
         ref = float(out)
