@@ -38,17 +38,22 @@ step_auto = core._make_step_auto()
 
 
 def bench(name, body, carry):
+    # `state` is passed as an explicit jit argument (never a closure:
+    # closed-over device pytrees embed as program constants via a
+    # device->host fetch that can hang the tunnel, and constants make
+    # the timings unrepresentative of the production path — CLAUDE.md).
     @jax.jit
-    def run(carry):
-        c, out = lax.scan(lambda c, _: body(c), carry, None, length=STEPS)
+    def run(carry, state):
+        c, out = lax.scan(lambda c, _: body(c, state), carry, None,
+                          length=STEPS)
         return jax.tree.map(lambda x: x.sum(), out)
 
-    out = run(carry)
+    out = run(carry, state)
     jax.block_until_ready(out)
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(carry)
+        out = run(carry, state)
         float(jax.tree.leaves(out)[0])
         dt = min(dt, time.perf_counter() - t0)
     print(json.dumps({"stage": name, "ms_per_step": round(dt / STEPS * 1e3, 3),
@@ -60,14 +65,14 @@ def act(key):
     return key, jax.random.randint(k, (B, N), 0, 5, dtype=jnp.int32)
 
 
-def full_body(c):
+def full_body(c, st):
     s, key = c
     key, a = act(key)
-    ns, _, res, _, _ = step_auto(s, state, a)
+    ns, _, res, _, _ = step_auto(s, st, a)
     return (ns, key), res.rewards.sum()
 
 
-def bare_body(c):
+def bare_body(c, st):
     s, key = c
     key, a = act(key)
     ns, res = jax.vmap(step_mod.step_one, in_axes=(None, 0, 0))(scfg, s, a)
@@ -75,17 +80,17 @@ def bare_body(c):
     return (ns, key), res.rewards.sum()
 
 
-def moves_body(c):
+def moves_body(c, st):
     xy, key = c
     key, a = act(key)
     nxy = jax.vmap(
         lambda o, onib, x, act_: collisions.resolve_moves(
             scfg, o, x, jnp.ones(N, bool), act_, obstacles_nib=onib)
-    )(state.obstacles, state.obstacle_nibbles, xy, a)
+    )(st.obstacles, st.obstacle_nibbles, xy, a)
     return (nxy, key), nxy.sum()
 
 
-def moves_nofix_body(c):
+def moves_nofix_body(c, st):
     xy, key = c
     key, a = act(key)
 
@@ -98,11 +103,11 @@ def moves_nofix_body(c):
         m0 = moving & ~jnp.any(tgt_on_cur & later, axis=1)
         return jnp.where(m0[:, None], desired, x)
 
-    nxy = jax.vmap(one_env)(state.obstacles, state.obstacle_nibbles, xy, a)
+    nxy = jax.vmap(one_env)(st.obstacles, st.obstacle_nibbles, xy, a)
     return (nxy, key), nxy.sum()
 
 
-def propose_body(c):
+def propose_body(c, st):
     xy, key = c
     key, a = act(key)
 
@@ -110,11 +115,11 @@ def propose_body(c):
         desired, _, _, _ = collisions.propose(o, x, jnp.ones(N, bool), act_, onib)
         return desired
 
-    nxy = jax.vmap(one_env)(state.obstacles, state.obstacle_nibbles, xy, a)
+    nxy = jax.vmap(one_env)(st.obstacles, st.obstacle_nibbles, xy, a)
     return (nxy, key), nxy.sum()
 
 
-def actions_body(c):
+def actions_body(c, st):
     key, = c
     key, a = act(key)
     return (key,), a.sum()

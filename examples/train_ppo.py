@@ -166,9 +166,29 @@ def main():
             if not state_path:
                 raise SystemExit("--resume requires --checkpoint")
             if os.path.exists(state_path):
-                saved = restore_checkpoint(
-                    state_path, like={"iter": np.int64(0), "ts": ts})
+                try:
+                    saved = restore_checkpoint(
+                        state_path, like={"iter": np.int64(0), "ts": ts})
+                except Exception as e:
+                    if "obstacle_nibbles" in str(e):
+                        # EnvState grew this (purely derived) leaf when the
+                        # nibble-packed lookup landed; orbax refuses
+                        # structure mismatches (a None template leaf is
+                        # also treated as structural). Re-save under the
+                        # current format with the matching older commit,
+                        # or restart — the leaf cannot be auto-filled
+                        # through orbax's typed restore.
+                        raise SystemExit(
+                            f"{state_path} predates the EnvState "
+                            "obstacle_nibbles field (pre-nibble-lookup "
+                            "checkpoint); resume it with the commit that "
+                            "wrote it, or restart training")
+                    raise
                 ts, start_iter = saved["ts"], int(saved["iter"])
+                if start_iter % args.steps_per_dispatch:
+                    raise SystemExit(
+                        f"resumed iter {start_iter} is not aligned with "
+                        f"--steps-per-dispatch {args.steps_per_dispatch}")
                 print(f"resumed from {state_path} at iter {start_iter}")
 
         steps_per_iter = args.envs * args.rollout_steps

@@ -97,36 +97,46 @@ def _pack_bits(x):
     return jnp.sum(xw.astype(jnp.uint32) * powers, axis=-1, dtype=jnp.uint32)
 
 
-def resolve_priority(obstacles, agents_xy, active, actions, obstacles_nib=None):
-    n = agents_xy.shape[0]
-    desired, des_cells, cur_cells, moving = propose(
-        obstacles, agents_xy, active, actions, obstacles_nib)
+def _priority_fixpoint_setup(des_cells, cur_cells, active, moving):
+    """Shared Jacobi machinery for resolve_priority and its diagnostic
+    twin: returns (m0, one_pass) where one_pass(m) applies one fixpoint
+    pass. Single source of truth for the blocking predicate — the depth
+    instrument is only meaningful while it runs the exact resolver body.
 
-    tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]  # [i, j]: t_i == c_j
+    The [N, N] conflict matrices are loop invariants; additionally the
+    j-axis is bit-packed into u32 words so each Jacobi pass touches
+    N/32x less data (the iteration count is the follow-chain depth, so
+    the per-pass cost dominates the fixpoint).
+    f_j = t_j if m_j else c_j; "f_j == t_i" for j<i blocks i:
+      blocked_i = OR_j (E1[i,j] & m_j) | (E2[i,j] & ~m_j)
+    """
+    n = des_cells.shape[0]
+    tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]  # t_i == c_j
     idx = jnp.arange(n)
     later = idx[None, :] > idx[:, None]  # [i, j]: j > i
-    earlier = idx[None, :] < idx[:, None]
     # Static blockers: some later-indexed agent currently sits on my target
     # (it moves after me, so it is still there at my turn).
-    blocked_static = jnp.any(tgt_on_cur & later, axis=1)
-    m0 = moving & ~blocked_static
-
-    # The [N, N] conflict matrices are loop invariants; additionally the
-    # j-axis is bit-packed into u32 words so each Jacobi pass touches
-    # N/32x less data (the iteration count is the follow-chain depth, so
-    # the per-pass cost dominates the fixpoint).
-    # f_j = t_j if m_j else c_j; "f_j == t_i" for j<i blocks i:
-    #   blocked_i = OR_j (E1[i,j] & m_j) | (E2[i,j] & ~m_j)
-    earlier_active = earlier & active[None, :]
+    m0 = moving & ~jnp.any(tgt_on_cur & later, axis=1)
+    earlier_active = (idx[None, :] < idx[:, None]) & active[None, :]
     e1 = _pack_bits(_eq(des_cells, des_cells) & earlier_active)  # [N, W]
     e2 = _pack_bits(tgt_on_cur & earlier_active)
 
+    def one_pass(m):
+        mp = _pack_bits(m)[None, :]  # [1, W]
+        blocked = jnp.any(((e1 & mp) | (e2 & ~mp)) != 0, axis=-1)
+        return m0 & ~blocked
+
+    return m0, one_pass
+
+
+def resolve_priority(obstacles, agents_xy, active, actions, obstacles_nib=None):
+    desired, des_cells, cur_cells, moving = propose(
+        obstacles, agents_xy, active, actions, obstacles_nib)
+    m0, one_pass = _priority_fixpoint_setup(des_cells, cur_cells, active, moving)
+
     def body(carry):
         m, _ = carry
-        mp = _pack_bits(m)[None, :]  # [1, W]
-        acc = (e1 & mp) | (e2 & ~mp)
-        blocked = jnp.any(acc != 0, axis=-1)
-        return m0 & ~blocked, m
+        return one_pass(m), m
 
     def cond(carry):
         m, prev = carry
@@ -195,22 +205,13 @@ def priority_fixpoint_depth(obstacles, agents_xy, active, actions,
     adversarial policies that might form long chains (CLAUDE.md
     "fixpoint worst case"). Off the hot path — compiled only when called.
     """
-    n = agents_xy.shape[0]
     _, des_cells, cur_cells, moving = propose(
         obstacles, agents_xy, active, actions, obstacles_nib)
-    tgt_on_cur = _eq(des_cells, cur_cells) & active[None, :]
-    idx = jnp.arange(n)
-    later = idx[None, :] > idx[:, None]
-    earlier_active = (idx[None, :] < idx[:, None]) & active[None, :]
-    m0 = moving & ~jnp.any(tgt_on_cur & later, axis=1)
-    e1 = _pack_bits(_eq(des_cells, des_cells) & earlier_active)
-    e2 = _pack_bits(tgt_on_cur & earlier_active)
+    m0, one_pass = _priority_fixpoint_setup(des_cells, cur_cells, active, moving)
 
     def body(carry):
         m, _, it = carry
-        mp = _pack_bits(m)[None, :]
-        blocked = jnp.any(((e1 & mp) | (e2 & ~mp)) != 0, axis=-1)
-        return m0 & ~blocked, m, it + 1
+        return one_pass(m), m, it + 1
 
     def cond(carry):
         m, prev, _ = carry

@@ -251,19 +251,28 @@ def make_planner_evaluator(core, avoid_agents: bool = True):
         metrics = jax.vmap(partial(metrics_mod.episode_metrics, cfg))(state)
         return state, metrics
 
-    return run
+    def run_checked(key):
+        state, metrics = run(key)
+        # Same loud-failure contract as PogemaCore.reset: unplaceable
+        # configs must raise, not return metrics over garbage positions.
+        if not bool(jnp.all(state.placement_ok)):
+            n_bad = int(jnp.sum(~state.placement_ok))
+            raise ValueError(
+                f"agent/target placement failed for {n_bad} env(s) "
+                "during planner evaluation (unplaceable config)"
+            )
+        return state, metrics
 
-
-_EVALUATORS = {}
+    return run_checked
 
 
 def evaluate_planner(core, seed: int = 0, avoid_agents: bool = True):
     """One-call convenience over :func:`make_planner_evaluator` with a
-    per-(core, avoid_agents) compile cache, so repeated calls with
-    different seeds pay tracing/compilation once."""
-    cache_key = (id(core), avoid_agents)
-    run = _EVALUATORS.get(cache_key)
+    compile cache ON the core instance (so cores are collectable and
+    repeated calls with different seeds pay tracing once)."""
+    cache = core.__dict__.setdefault("_planner_evaluators", {})
+    run = cache.get(avoid_agents)
     if run is None:
         run = make_planner_evaluator(core, avoid_agents=avoid_agents)
-        _EVALUATORS[cache_key] = run
+        cache[avoid_agents] = run
     return run(core.make_key(seed))
