@@ -159,3 +159,17 @@ def test_toolbox_planner_requires_mapf_obs():
 
     with pytest.raises(ValueError, match="MAPF"):
         evaluate({"size": 8, "num_agents": 2}, algo="Planner", seeds=[0])
+
+
+def test_toolbox_planner_lifelong_recaches_on_respawn():
+    """Under on_target='restart' the rim policy must recompute fields
+    when a respawn moves a target (cache keyed on (map, targets)); it
+    should score repeatedly and far outpace random."""
+    from pogema_tpu.toolbox import evaluate
+
+    env = {"size": 10, "density": 0.2, "num_agents": 3, "obs_radius": 3,
+           "observation_type": "MAPF", "on_target": "restart",
+           "max_episode_steps": 48}
+    res = evaluate(env, algo="Planner", seeds=[0])["env"]
+    rnd = evaluate(env, algo="random", seeds=[0])["env"]
+    assert res["avg_throughput"] > 3 * max(rnd["avg_throughput"], 0.01)
