@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--entropy-coef", type=float, default=0.01)
+    ap.add_argument("--obstacle-path", default="auto",
+                    choices=["auto", "pre", "windows"],
+                    help="fused-learner obstacle strategy; 'auto' picks "
+                         "'pre' when the [B, S^2, E] grid embedding fits")
     ap.add_argument("--on-target", default="restart")
     ap.add_argument("--model", choices=["fused", "conv"], default="fused")
     ap.add_argument("--embed", type=int, default=256)
@@ -110,7 +115,9 @@ def main():
         core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16)
         model, params = init_params(jax.random.key(0), window)
     ppo = PPOConfig(lr=args.lr, rollout_steps=args.rollout_steps,
-                    epochs=args.epochs, minibatches=args.minibatches)
+                    epochs=args.epochs, minibatches=args.minibatches,
+                    entropy_coef=args.entropy_coef,
+                    obstacle_path=args.obstacle_path)
 
     # Append on --resume so a restart doesn't truncate the pre-crash
     # learning curve; the header is written only when the file is empty.
