@@ -105,7 +105,7 @@ def main():
     # tensor materialized per step (~100x slowdown measured).
     step_auto = core._make_step_auto()
 
-    state, obs = core.reset(jax.random.key(0))
+    state, obs = core.reset(jax.random.key(0), with_obs=False)
     jax.block_until_ready(state)
 
     # initial_state is an explicit argument: closing over a large device

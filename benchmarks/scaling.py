@@ -30,7 +30,7 @@ def measure(core, envs, agents, steps, mesh=None):
     from pogema_tpu.parallel.mesh import global_batch_from_host
 
     step_auto = core._make_step_auto()
-    state, _ = core.reset(jax.random.key(0))
+    state, _ = core.reset(jax.random.key(0), with_obs=False)
     if mesh is not None:
         # Multi-process: every process holds the identical reset (it is
         # deterministic), so each materializes just its global shards.

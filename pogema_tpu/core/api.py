@@ -199,6 +199,17 @@ class PogemaCore:
             return state, obs
 
         @jax.jit
+        def reset_state(key):
+            # Obs-free reset: at config-E scale the initial obs tensor's
+            # tile padding alone is ~16 GB ([B, N, 11, 138] bf16 pads
+            # 2.7x and [B, N, 3, 11, 11] f32 pads 16.9x — minor dims of
+            # 11 on T(8,128) tiles), OOMing a single chip even though the
+            # obs-free step path fits. Consumers that never read obs
+            # (bench scans, the fused learner) reset through this.
+            keys = jax.random.split(key, self.num_envs)
+            return jax.vmap(reset_env)(keys)
+
+        @jax.jit
         def step(state, actions):
             new_state, res = jax.vmap(partial(step_mod.step_one, cfg))(state, actions)
             res = res.replace(observations=cast_obs(res.observations))
@@ -207,6 +218,7 @@ class PogemaCore:
             return new_state, res, done, metrics
 
         self._reset = reset
+        self._reset_state = reset_state
         self._step = step
         self._step_auto = jax.jit(self._make_step_auto())
 
@@ -220,8 +232,13 @@ class PogemaCore:
                 return jax.random.key(seed)
         return jax.random.key(seed)
 
-    def reset(self, key):
+    def reset(self, key, with_obs: bool = True):
         """(state, observations) for B envs. key: single PRNG key.
+
+        ``with_obs=False`` returns (state, None) and never materializes
+        the [B, N, C, W, W] obs tensor — at config-E scale its tile
+        padding alone exceeds single-chip HBM while the obs-free step
+        path fits comfortably.
 
         Raises ValueError if on-device placement failed for any env (the
         bounded retry exhausted — unplaceable config); the reference raises
@@ -238,7 +255,10 @@ class PogemaCore:
             # the returned state) runs on host XLA — no accelerator
             # round-trips for latency-bound tiny workloads.
             key = jax.device_put(key, self._host_device)
-        state, obs = self._reset(key)
+        if with_obs:
+            state, obs = self._reset(key)
+        else:
+            state, obs = self._reset_state(key), None
         if not bool(jnp.all(state.placement_ok)):
             n_bad = int(jnp.sum(~state.placement_ok))
             raise ValueError(

@@ -60,14 +60,14 @@ def _init_state(core, params, config: PPOConfig, key, with_obs: bool):
         optax.adam(config.lr),
     )
     key, k_reset = jax.random.split(key)
-    env_state, obs = core.reset(k_reset)
+    env_state, obs = core.reset(k_reset, with_obs=with_obs)
     return (
         TrainState(
             params=params,
             opt_state=tx.init(params),
             env_state=env_state,
             initial_env_state=env_state,
-            obs=obs if with_obs else None,
+            obs=obs,
             key=key,
         ),
         tx,

@@ -207,3 +207,22 @@ def test_forced_host_dispatch_is_bit_exact():
     # make_key lands on the dispatch device
     k = host.make_key(7)
     assert list(k.devices())[0] == host._host_device
+
+
+def test_reset_without_obs_matches_state():
+    # with_obs=False must be a pure obs-skip: identical EnvState, no obs.
+    # (It exists because at config-E scale the initial obs tensor's tile
+    # padding OOMs a chip that fits the obs-free step path fine.)
+    cfg = GridConfig(seed=3, size=12, density=0.3, num_agents=4,
+                     obs_radius=3, max_episode_steps=32, on_target="restart")
+    core = PogemaCore(cfg, num_envs=8)
+    k = core.make_key(11)
+    s_full, obs = core.reset(k)
+    s_bare, none = core.reset(k, with_obs=False)
+    assert none is None
+    assert obs is not None
+    import jax
+    for a, b in zip(jax.tree.leaves(s_full), jax.tree.leaves(s_bare)):
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
