@@ -42,6 +42,40 @@ from ..ops.windows import (
 )
 
 
+def embed_state_windows(embed_kernel, embed_bias, dtype, window,
+                        grids, agents_xy, targets_xy, active):
+    """Fused first-layer embedding from raw state (the obs tensor is
+    never built): dtype[B, N, E]. Shared by :class:`EmbedActorCritic`
+    (.from_state) and :class:`~pogema_tpu.models.recurrent.
+    RecurrentEmbedActorCritic` so the two families cannot drift."""
+    w = window
+    embed = embed_kernel.shape[-1]
+    kernel = embed_kernel.astype(dtype)
+    bias = embed_bias.astype(dtype)
+    k_obst = kernel[0].reshape(w, w, embed)
+    k_agents = kernel[1].reshape(w, w, embed)
+    k_target = kernel[2].reshape(w, w, embed)
+
+    obst_w = batched_extract_windows(grids, agents_xy, w, dtype=dtype)
+    agents_w = batched_pairwise_agent_windows(agents_xy, active, w,
+                                              dtype=dtype)
+    targ_w = batched_target_onehot(agents_xy, targets_xy, w, dtype=dtype)
+
+    # f32 accumulation across the three channel contractions so the
+    # embedding rounds to bf16 exactly once — keeps from_state within
+    # f32 summation-order noise of __call__(observe(state)).
+    f32 = jnp.float32
+    return (
+        jnp.einsum("bnij,ijh->bnh", obst_w, k_obst,
+                   preferred_element_type=f32)
+        + jnp.einsum("bnij,ijh->bnh", agents_w, k_agents,
+                     preferred_element_type=f32)
+        + jnp.einsum("bnij,ijh->bnh", targ_w, k_target,
+                     preferred_element_type=f32)
+        + bias.astype(f32)
+    ).astype(dtype)
+
+
 class EmbedActorCritic(nn.Module):
     """Input (either form): egocentric MAPF view, window size W = 2r+1.
     Output: (logits f32[..., N, 5], value f32[..., N])."""
@@ -204,32 +238,10 @@ class EmbedActorCritic(nn.Module):
         the update); agents_xy/targets_xy: i32[B, N, 2] padded coords;
         active: bool[B, N]. Returns (logits f32[B, N, 5], value f32[B, N]).
         """
-        w = self.window
-        kernel = self.embed_kernel.astype(self.dtype)
-        bias = self.embed_bias.astype(self.dtype)
-        k_obst = kernel[0].reshape(w, w, self.embed)
-        k_agents = kernel[1].reshape(w, w, self.embed)
-        k_target = kernel[2].reshape(w, w, self.embed)
-
-        obst_w = batched_extract_windows(grids, agents_xy, w, dtype=self.dtype)
-        agents_w = batched_pairwise_agent_windows(
-            agents_xy, active, w, dtype=self.dtype
+        e = embed_state_windows(
+            self.embed_kernel, self.embed_bias, self.dtype, self.window,
+            grids, agents_xy, targets_xy, active,
         )
-        targ_w = batched_target_onehot(agents_xy, targets_xy, w, dtype=self.dtype)
-
-        # f32 accumulation across the three channel contractions so the
-        # embedding rounds to bf16 exactly once — keeps from_state within
-        # f32 summation-order noise of __call__(observe(state)).
-        f32 = jnp.float32
-        e = (
-            jnp.einsum("bnij,ijh->bnh", obst_w, k_obst,
-                       preferred_element_type=f32)
-            + jnp.einsum("bnij,ijh->bnh", agents_w, k_agents,
-                         preferred_element_type=f32)
-            + jnp.einsum("bnij,ijh->bnh", targ_w, k_target,
-                         preferred_element_type=f32)
-            + bias.astype(f32)
-        ).astype(self.dtype)
         return self._head(e)
 
 

@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from .rollout import Transition, make_rollout_fn, make_state_rollout_fn
+from .rollout import (
+    Transition,
+    make_recurrent_rollout_fn,
+    make_rollout_fn,
+    make_state_rollout_fn,
+)
 
 
 @flax.struct.dataclass
@@ -490,6 +495,159 @@ def make_fused_train_many(core, model, config: PPOConfig, tx, steps: int):
         return ts, out
 
     return train_many
+
+
+@flax.struct.dataclass
+class RecurrentTrainState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    initial_env_state: Any
+    h: jnp.ndarray  # GRU hidden dtype[B, N, H], carried across rollouts
+    key: jnp.ndarray
+
+
+def init_recurrent_train_state(core, model, params, config: PPOConfig,
+                               key) -> tuple:
+    """(RecurrentTrainState, optax optimizer) for the GRU family."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.lr),
+    )
+    key, k_reset = jax.random.split(key)
+    env_state, _ = core.reset(k_reset, with_obs=False)
+    h = model.initial_carry((core.num_envs, core.cfg.num_agents))
+    return (
+        RecurrentTrainState(
+            params=params,
+            opt_state=tx.init(params),
+            env_state=env_state,
+            initial_env_state=env_state,
+            h=h,
+            key=key,
+        ),
+        tx,
+    )
+
+
+def make_recurrent_train_step(core, model, config: PPOConfig, tx):
+    """PPO for the recurrent (GRU) family — the memoryful model under
+    partial observability (models/recurrent.py).
+
+    Rollout: obs-free, hidden state in the scan carry, zeroed at agent
+    dones (make_recurrent_rollout_fn). Update: minibatches slice the ENV
+    axis (sequences stay whole), and each loss replays the full
+    rollout-length sequence from the stored pre-rollout hidden state —
+    the stored per-step dones reproduce the exact hidden-state evolution
+    the rollout saw, so at epoch 0 the replayed log-probs equal the
+    rollout's (test-gated, tests/test_recurrent.py). Needs
+    num_envs % minibatches == 0."""
+    _check_static_maps(core, config)
+    mcls = type(model)
+
+    def apply_cell(params, grids, axy, txy, active, h):
+        return model.apply(params, grids, axy, txy, active, h,
+                           method=mcls.step_from_state)
+
+    rollout = make_recurrent_rollout_fn(core, apply_cell,
+                                        config.rollout_steps)
+    _check_minibatch_divisibility(core.num_envs, config.minibatches,
+                                  "num_envs (recurrent minibatches "
+                                  "slice the env axis)")
+
+    def loss_fn(params, grids_mb, h0_mb, batch):
+        # batch fields: [mb, T, ...] (env-major so the epoch mix works on
+        # axis 0); the replay scans time, so move T in front.
+        batch = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), batch)
+        (axy, txy, active, actions, old_log_probs, advantages, targets,
+         dones) = batch
+
+        def cell(h, xs):
+            a, t, act, d = xs
+            new_h, logits, values = apply_cell(
+                params, grids_mb, a, t, act, h
+            )
+            new_h = jnp.where(d[..., None], 0, new_h)
+            return new_h, (logits, values)
+
+        _, (logits, values) = lax.scan(
+            cell, h0_mb, (axy, txy, active, dones)
+        )
+        return _ppo_loss_terms(config, logits, values, actions,
+                               old_log_probs, advantages, targets)
+
+    def train_step(ts: RecurrentTrainState):
+        # Valid for every transition of this rollout (static-map check).
+        grids = ts.env_state.obstacles
+        h0 = ts.h
+
+        env_state, h_last, key, traj = rollout(
+            ts.params, ts.env_state, ts.initial_env_state, ts.h, ts.key
+        )
+        _, _, last_values = apply_cell(
+            ts.params, env_state.obstacles, env_state.agents_xy,
+            env_state.targets_xy, env_state.active, h_last,
+        )
+        advantages, targets = compute_gae(
+            traj, last_values, config.gamma, config.gae_lambda
+        )
+
+        # Env-major dataset [B, T, ...]: the epoch mix partitions envs.
+        def env_major(x):
+            return jnp.swapaxes(x, 0, 1)
+
+        dataset = jax.tree.map(env_major, (
+            traj.agents_xy,
+            traj.targets_xy,
+            traj.active,
+            traj.actions,
+            traj.log_probs,
+            advantages,
+            targets,
+            traj.dones,
+        ))
+        b = core.num_envs
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_mix = jax.random.split(key)
+            mix = _epoch_mix(k_mix, b, config.minibatches)
+            shuffled = jax.tree.map(mix, dataset)
+            grids_s = mix(grids.astype(jnp.bfloat16))
+            h0_s = mix(h0)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                take = lambda x: lax.dynamic_slice_in_dim(
+                    x, i, 1, axis=1)[:, 0]
+                batch = jax.tree.map(take, shuffled)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, take(grids_s), take(h0_s), batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), stats = lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(config.minibatches)
+            )
+            return (params, opt_state, key), stats
+
+        (params, opt_state, key), stats = lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None,
+            length=config.epochs
+        )
+        new_ts = ts.replace(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            h=h_last,
+            key=key,
+        )
+        return new_ts, _train_stats(stats, traj)
+
+    return train_step
 
 
 def make_train_step(core, model, config: PPOConfig, tx):

@@ -113,6 +113,52 @@ def make_state_rollout_fn(core, apply_state, num_steps: int, make_ctx=None,
     return rollout
 
 
+def make_recurrent_rollout_fn(core, apply_cell, num_steps: int,
+                              unroll: int = 1):
+    """Obs-free rollout for the recurrent family: the GRU hidden state
+    dtype[B, N, H] rides the scan carry and is zeroed where an agent's
+    episode ended (a ``where``, not control flow — dones are stored in
+    the trajectory, so the PPO update replays the identical hidden-state
+    evolution). Returns rollout(params, env_state, initial_state, h,
+    key) -> (env_state, h, key, StateTransition)."""
+    step_auto = core._make_step_auto(with_obs=False)
+
+    def rollout(params, env_state, initial_state, h, key):
+        def one(carry, _):
+            s, h, key = carry
+            key, k_act = jax.random.split(key)
+            new_h, logits, values = apply_cell(
+                params, s.obstacles, s.agents_xy, s.targets_xy, s.active, h
+            )
+            actions = jax.random.categorical(k_act, logits)
+            log_probs = log_prob_of(logits, actions)
+            new_state, _, res, env_done, metrics = step_auto(
+                s, initial_state, actions
+            )
+            dones = res.terminated | res.truncated
+            new_h = jnp.where(dones[..., None], 0, new_h)
+            tr = StateTransition(
+                agents_xy=s.agents_xy,
+                targets_xy=s.targets_xy,
+                active=s.active,
+                actions=actions.astype(jnp.int32),
+                log_probs=log_probs,
+                values=values,
+                rewards=res.rewards,
+                dones=dones,
+                env_dones=env_done,
+                metrics=metrics,
+            )
+            return (new_state, new_h, key), tr
+
+        (env_state, h, key), traj = lax.scan(
+            one, (env_state, h, key), None, length=num_steps, unroll=unroll
+        )
+        return env_state, h, key, traj
+
+    return rollout
+
+
 def make_rollout_fn(core, apply_fn, num_steps: int):
     """Returns rollout(params, env_state, initial_state, obs, key) ->
     (env_state, obs, key, Transition). ``initial_state`` feeds the
