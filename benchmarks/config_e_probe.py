@@ -61,8 +61,11 @@ def main():
         parts = []
         for i in range(args.chunks):
             s, _ = core_c.reset(core_c.make_key(i), with_obs=False)
-            # force materialization + free the reset transients
-            jax.block_until_ready(s)
+            # Force materialization + free the reset transients. A real
+            # scalar fetch, NOT block_until_ready: the tunneled backend
+            # does not synchronize on block_until_ready (CLAUDE.md), so
+            # chunks would otherwise overlap their reset transients.
+            int(np.asarray(s.agents_xy[0, 0, 0]))
             parts.append(s)
         state = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         int(np.asarray(state.agents_xy[0, 0, 0]))  # real fetch (tunnel)

@@ -40,7 +40,14 @@ def main():
                     help="fused-learner obstacle strategy; 'auto' picks "
                          "'pre' when the [B, S^2, E] grid embedding fits")
     ap.add_argument("--on-target", default="restart")
-    ap.add_argument("--model", choices=["fused", "conv"], default="fused")
+    ap.add_argument("--model", choices=["fused", "recurrent", "conv"],
+                    default="fused",
+                    help="'fused' = feedforward obs-free EmbedActorCritic; "
+                         "'recurrent' = GRU memoryful family (obs-free, "
+                         "partial observability lever); 'conv' = obs-based")
+    ap.add_argument("--gru-hidden", type=int, default=None,
+                    help="recurrent model only: GRU hidden size "
+                         "(defaults to --hidden)")
     ap.add_argument("--embed", type=int, default=256)
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--checkpoint", default=None,
@@ -75,15 +82,19 @@ def main():
 
     from pogema_tpu import GridConfig, PogemaCore
     from pogema_tpu.models import (
-        init_embed_params, init_params, partition_params,
+        init_embed_params, init_params, init_recurrent_params,
+        partition_params,
     )
     from pogema_tpu.parallel import (
         PPOConfig,
         init_fused_train_state,
+        init_recurrent_train_state,
         init_train_state,
         make_fused_train_many,
         make_fused_train_step,
         make_mesh,
+        make_recurrent_train_many,
+        make_recurrent_train_step,
         make_train_step,
         shard_batch,
     )
@@ -109,6 +120,12 @@ def main():
         model, params = init_embed_params(
             jax.random.key(0), window, embed=args.embed, hidden=args.hidden,
         )
+    elif args.model == "recurrent":
+        core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset)
+        model, params = init_recurrent_params(
+            jax.random.key(0), window, embed=args.embed,
+            hidden=args.gru_hidden or args.hidden,
+        )
     else:
         # bf16 observations halve rollout HBM traffic; the model computes
         # in bf16 anyway.
@@ -133,9 +150,16 @@ def main():
     mesh = make_mesh()
     with mesh:
         params = partition_params(params, mesh)
-        if args.model == "fused":
-            ts, tx = init_fused_train_state(core, model, params, ppo,
-                                            jax.random.key(1))
+        if args.model in ("fused", "recurrent"):
+            if args.model == "fused":
+                ts, tx = init_fused_train_state(core, model, params, ppo,
+                                                jax.random.key(1))
+                mk_one, mk_many = make_fused_train_step, make_fused_train_many
+            else:
+                ts, tx = init_recurrent_train_state(core, model, params, ppo,
+                                                    jax.random.key(1))
+                mk_one = make_recurrent_train_step
+                mk_many = make_recurrent_train_many
             if args.steps_per_dispatch > 1:
                 if args.iters % args.steps_per_dispatch:
                     raise SystemExit("--iters must be divisible by "
@@ -144,11 +168,10 @@ def main():
                         and args.checkpoint_every % args.steps_per_dispatch):
                     raise SystemExit("--checkpoint-every must be divisible "
                                      "by --steps-per-dispatch")
-                train_step = jax.jit(make_fused_train_many(
+                train_step = jax.jit(mk_many(
                     core, model, ppo, tx, args.steps_per_dispatch))
             else:
-                train_step = jax.jit(
-                    make_fused_train_step(core, model, ppo, tx))
+                train_step = jax.jit(mk_one(core, model, ppo, tx))
         else:
             if args.steps_per_dispatch > 1:
                 raise SystemExit("--steps-per-dispatch needs --model fused")
@@ -160,6 +183,8 @@ def main():
             env_state=shard_batch(ts.env_state, mesh),
             initial_env_state=shard_batch(ts.initial_env_state, mesh),
         )
+        if args.model == "recurrent":
+            ts = ts.replace(h=shard_batch(ts.h, mesh))
 
         import numpy as np
 

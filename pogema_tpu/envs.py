@@ -297,6 +297,19 @@ def pogema_v0(grid_config: Optional[GridConfig] = None, **kwargs):
 
         env = PersistentWrapper(env)
     integration = grid_config.integration
+    auto_reset = grid_config.auto_reset
+    if auto_reset and integration not in (None, "gymnasium", "SampleFactory"):
+        raise ValueError(
+            f"auto_reset=True is not supported with "
+            f"integration={integration!r}: that adapter owns the reset "
+            "cycle (PARITY_RISKS.md row 15)"
+        )
+    if auto_reset:
+        # Generic episode auto-reset on the lists rim (same wrapper the
+        # SampleFactory integration uses); applied before any adapter.
+        from .integrations.sample_factory import AutoResetWrapper
+
+        env = AutoResetWrapper(env)
     if integration is None:
         return env
     if integration == "gymnasium":
@@ -318,7 +331,12 @@ def pogema_v0(grid_config: Optional[GridConfig] = None, **kwargs):
             MetricsForwardingWrapper,
         )
 
-        return AutoResetWrapper(MetricsForwardingWrapper(IsMultiAgentWrapper(env)))
+        env = MetricsForwardingWrapper(IsMultiAgentWrapper(env))
+        # SampleFactory's contract wants auto-reset by default;
+        # auto_reset=False opts out, auto_reset=True already wrapped above.
+        if auto_reset is None:
+            env = AutoResetWrapper(env)
+        return env
     if integration == "rllib":
         from .integrations.rllib import RLlibPogema
 

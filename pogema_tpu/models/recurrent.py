@@ -99,7 +99,7 @@ def init_recurrent_params(key, window: int, embed: int = 128,
     grids = jnp.zeros((1, p, p), jnp.uint8)
     xy = jnp.full((1, 1, 2), window // 2, jnp.int32)
     active = jnp.ones((1, 1), bool)
-    h0 = jnp.zeros((1, 1, hidden), jnp.bfloat16)
+    h0 = model.initial_carry((1, 1))  # always matches the module dtype
     params = model.init(
         key, grids, xy, xy, active, h0,
         method=RecurrentEmbedActorCritic.step_from_state,

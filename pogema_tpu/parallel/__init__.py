@@ -1,5 +1,9 @@
 from .mesh import make_mesh, shard_batch, initialize_distributed
-from .rollout import make_rollout_fn, make_state_rollout_fn
+from .rollout import (
+    make_rollout_fn,
+    make_state_rollout_fn,
+    make_recurrent_rollout_fn,
+)
 from .learner import (
     PPOConfig,
     make_train_step,
@@ -7,6 +11,9 @@ from .learner import (
     make_fused_train_step,
     make_fused_train_many,
     init_fused_train_state,
+    init_recurrent_train_state,
+    make_recurrent_train_step,
+    make_recurrent_train_many,
 )
 
 __all__ = [
@@ -15,10 +22,14 @@ __all__ = [
     "initialize_distributed",
     "make_rollout_fn",
     "make_state_rollout_fn",
+    "make_recurrent_rollout_fn",
     "PPOConfig",
     "make_train_step",
     "init_train_state",
     "make_fused_train_step",
     "make_fused_train_many",
     "init_fused_train_state",
+    "init_recurrent_train_state",
+    "make_recurrent_train_step",
+    "make_recurrent_train_many",
 ]

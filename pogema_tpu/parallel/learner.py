@@ -650,6 +650,26 @@ def make_recurrent_train_step(core, model, config: PPOConfig, tx):
     return train_step
 
 
+def make_recurrent_train_many(core, model, config: PPOConfig, tx,
+                              steps: int):
+    """``steps`` recurrent train steps as ONE jitted program — the
+    recurrent counterpart of :func:`make_fused_train_many` (same
+    rationale: each host dispatch through the tunneled TPU costs a fixed
+    ~31 ms). Returns train_many(RecurrentTrainState) -> (ts, stats)."""
+    step = make_recurrent_train_step(core, model, config, tx)
+
+    def train_many(ts: RecurrentTrainState):
+        def one(ts, _):
+            return step(ts)
+
+        ts, stats = lax.scan(one, ts, None, length=steps)
+        out = {k: v.mean() for k, v in stats.items()}
+        out["episodes_finished"] = stats["episodes_finished"].sum()
+        return ts, out
+
+    return train_many
+
+
 def make_train_step(core, model, config: PPOConfig, tx):
     """Returns jit-able train_step(TrainState) -> (TrainState, stats)."""
     apply_fn = model.apply

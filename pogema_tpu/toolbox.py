@@ -57,10 +57,13 @@ class PPOPolicy:
     --checkpoint, evaluate head-to-head with A*/random on the same maps).
 
     Model family and sizes are inferred from the checkpoint pytree saved
-    by ``utils.checkpoint.save_checkpoint`` — ``embed_kernel`` present
-    means the fused :class:`~pogema_tpu.models.EmbedActorCritic` (its
-    obs-based ``__call__`` computes the same function as the training
-    path), otherwise the conv :class:`~pogema_tpu.models.ActorCritic`.
+    by ``utils.checkpoint.save_checkpoint`` — ``embed_kernel`` + ``gru``
+    means the recurrent :class:`~pogema_tpu.models.
+    RecurrentEmbedActorCritic` (hidden state carried across ``act`` calls,
+    cleared by ``reset_states``), ``embed_kernel`` alone the fused
+    :class:`~pogema_tpu.models.EmbedActorCritic` (its obs-based
+    ``__call__`` computes the same function as the training path),
+    otherwise the conv :class:`~pogema_tpu.models.ActorCritic`.
     Consumes default 3-channel observations (observation_type='default').
     ``temperature=0`` acts greedily; >0 softmax-samples.
     """
@@ -72,7 +75,20 @@ class PPOPolicy:
 
         self._params = restore_checkpoint(checkpoint)
         inner = self._params["params"]
-        if "embed_kernel" in inner:
+        self._model = None
+        self._h = None
+        if "embed_kernel" in inner and "gru" in inner:
+            from .models import RecurrentEmbedActorCritic
+
+            ek = inner["embed_kernel"]  # [3, W*W, E]
+            window = int(round(ek.shape[1] ** 0.5))
+            model = RecurrentEmbedActorCritic(
+                window=window, embed=int(ek.shape[2]),
+                hidden=int(inner["gru"]["hr"]["kernel"].shape[1]),
+            )
+            self._model = model
+            self._apply = jax.jit(lambda p, o, h: model.apply(p, o, h)[:2])
+        elif "embed_kernel" in inner:
             from .models import EmbedActorCritic
 
             ek = inner["embed_kernel"]  # [3, W*W, E]
@@ -81,6 +97,7 @@ class PPOPolicy:
                 window=window, embed=int(ek.shape[2]),
                 hidden=int(inner["trunk"]["kernel"].shape[1]),
             )
+            self._apply = jax.jit(lambda p, o: model.apply(p, o)[0])
         else:
             from .models import ActorCritic
 
@@ -88,13 +105,19 @@ class PPOPolicy:
                 hidden=int(inner["trunk"]["kernel"].shape[1]),
                 channels=int(inner["conv1"]["kernel"].shape[-1]),
             )
-        self._apply = jax.jit(lambda p, o: model.apply(p, o)[0])
+            self._apply = jax.jit(lambda p, o: model.apply(p, o)[0])
         self._temperature = float(temperature)
         self._rng = np.random.default_rng(seed)
 
     def act(self, observations):
         obs = np.asarray(observations, np.float32)  # [N, 3, W, W]
-        logits = np.asarray(self._apply(self._params, obs), np.float64)
+        if self._model is not None:  # recurrent: thread the hidden state
+            if self._h is None or self._h.shape[0] != obs.shape[0]:
+                self._h = self._model.initial_carry((obs.shape[0],))
+            self._h, logits = self._apply(self._params, obs, self._h)
+            logits = np.asarray(logits, np.float64)
+        else:
+            logits = np.asarray(self._apply(self._params, obs), np.float64)
         if self._temperature > 0.0:
             # Gumbel-max sampling with the policy's own host RNG (the
             # eval harness is host-side; no need for device PRNG here).
@@ -103,7 +126,7 @@ class PPOPolicy:
         return np.argmax(logits, axis=-1).astype(int).tolist()
 
     def reset_states(self):
-        pass
+        self._h = None
 
 
 def _planner_factory(**kwargs):

@@ -402,3 +402,45 @@ def test_isr_csr_decline_under_lifelong():
     mets = infos[0]["metrics"]
     assert "ISR" not in mets and "CSR" not in mets
     assert "avg_throughput" in mets
+
+
+def test_auto_reset_flag():
+    """GridConfig.auto_reset (PARITY_RISKS.md row 15): True wraps the
+    lists rim in AutoResetWrapper; None keeps integration defaults;
+    unsupported integrations raise loudly instead of ignoring the flag."""
+    cfg = dict(seed=0, size=6, num_agents=2, obs_radius=2,
+               max_episode_steps=4)
+    rng = np.random.default_rng(0)
+
+    env = pogema_v0(GridConfig(**cfg, auto_reset=True))
+    first_obs, _ = env.reset()
+    done_seen = False
+    for _ in range(10):  # steps straight through episode boundaries
+        obs, rew, term, trunc, infos = env.step(
+            rng.integers(0, 5, size=2).tolist())
+        if all(t or tr for t, tr in zip(term, trunc)):
+            done_seen = True
+            # deterministic seed => the post-reset obs are episode-initial
+            np.testing.assert_array_equal(np.asarray(obs),
+                                          np.asarray(first_obs))
+    assert done_seen
+
+    # Default (None): stepping past the end without reset raises upstream
+    # of the flag — the plain rim keeps its manual-reset contract.
+    env2 = pogema_v0(GridConfig(**cfg, auto_reset=None))
+    env2.reset()
+    for _ in range(4):
+        out = env2.step(rng.integers(0, 5, size=2).tolist())
+    assert all(t or tr for t, tr in zip(out[2], out[3]))
+
+    # SampleFactory: auto-resets by default, opt-out with False.
+    sf = pogema_v0(GridConfig(**cfg, integration="SampleFactory"))
+    from pogema_tpu.integrations.sample_factory import AutoResetWrapper
+
+    assert isinstance(sf, AutoResetWrapper)
+    sf_off = pogema_v0(GridConfig(**cfg, integration="SampleFactory",
+                                  auto_reset=False))
+    assert not isinstance(sf_off, AutoResetWrapper)
+
+    with pytest.raises(ValueError, match="auto_reset"):
+        pogema_v0(GridConfig(**cfg, integration="PyMARL", auto_reset=True))

@@ -50,7 +50,9 @@ def test_ppo_policy_roundtrip(tmp_path):
     obs-based apply path (same function as training, tests/test_fused.py)."""
     import jax
 
-    from pogema_tpu.models import init_embed_params, init_params
+    from pogema_tpu.models import (
+        init_embed_params, init_params, init_recurrent_params,
+    )
     from pogema_tpu.toolbox import PPOPolicy
     from pogema_tpu.utils.checkpoint import save_checkpoint
 
@@ -59,8 +61,11 @@ def test_ppo_policy_roundtrip(tmp_path):
                                         embed=32, hidden=16)
     _, conv_params = init_params(jax.random.key(0), window,
                                  hidden=16, channels=8)
+    _, rec_params = init_recurrent_params(jax.random.key(0), window,
+                                          embed=32, hidden=16)
     envs = dict(size=6, num_agents=2, obs_radius=3, max_episode_steps=8)
-    for name, params in [("fused", fused_params), ("conv", conv_params)]:
+    for name, params in [("fused", fused_params), ("conv", conv_params),
+                         ("recurrent", rec_params)]:
         path = str(tmp_path / name)
         save_checkpoint(path, params)
         out = evaluate(envs, algo="PPO", seeds=[0],
@@ -71,3 +76,15 @@ def test_ppo_policy_roundtrip(tmp_path):
         obs = [np.zeros((3, window, window), np.float32)] * 2
         acts = pol.act(obs)
         assert len(acts) == 2 and all(0 <= a < 5 for a in acts)
+
+    # Recurrent policy memory plumbing: hidden state persists across
+    # act() calls and clears on reset_states() (episode boundary).
+    pol = PPOPolicy(str(tmp_path / "recurrent"))
+    obs = [np.ones((3, window, window), np.float32)] * 2
+    assert pol._h is None
+    pol.act(obs)
+    h1 = np.asarray(pol._h, np.float32)
+    pol.act(obs)
+    assert not np.array_equal(np.asarray(pol._h, np.float32), h1)
+    pol.reset_states()
+    assert pol._h is None
