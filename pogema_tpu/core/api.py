@@ -69,6 +69,7 @@ class PogemaCore:
         map_bank: Optional[np.ndarray] = None,
         obs_dtype=None,
         device: str = "auto",
+        obs_layout: str = "grid",
     ):
         """obs_dtype: cast float observation leaves (default f32 for
         reference parity; pass jnp.bfloat16 to halve HBM traffic on the
@@ -84,6 +85,15 @@ class PogemaCore:
         'default' forces the default (accelerator) backend."""
         self.grid_config = grid_config
         self.cfg: StaticConfig = grid_config.to_static()
+        if obs_layout != "grid":
+            # 'packed': f32[B, N, 3*W*W] observations (bit-exact reshape
+            # of the grid layout, minor dim ~tile-aligned) — the fast
+            # path for consumers of materialized obs; only meaningful
+            # for the 'default' obs type (dict variants keep their own
+            # leaf shapes).
+            kv = {k: getattr(self.cfg, k) for k in StaticConfig.__slots__}
+            kv["obs_layout"] = obs_layout
+            self.cfg = StaticConfig(**kv)
         self.num_envs = int(num_envs)
         if auto_reset_mode not in ("cached", "regen"):
             raise ValueError("auto_reset_mode must be 'cached' or 'regen'")

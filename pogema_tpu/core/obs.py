@@ -56,6 +56,18 @@ def observe(cfg: StaticConfig, obstacles, agents_xy, targets_xy, active):
 
     if cfg.observation_type == "default":
         targ_w = target_channel(cfg, agents_xy, targets_xy)
+        if cfg.obs_layout == "packed":
+            # f32[N, 3*W*W]: channel blocks [obstacles|agents|target]
+            # flattened row-major — a bit-exact reshape of the grid
+            # layout (test-gated), but the minor dim 3*W*W (~363) is
+            # near-tile-aligned where W=11 pays ~12x T(8,128) padding.
+            # Built by concat of flat channels so the padded [N,3,W,W]
+            # stack never materializes. External learners matmul it
+            # directly: [.., 3*W*W] @ [3*W*W, E] is the embed GEMM.
+            n = obst_w.shape[0]
+            return jnp.concatenate(
+                [obst_w.reshape(n, w * w), agents_w.reshape(n, w * w),
+                 targ_w.reshape(n, w * w)], axis=-1)
         return jnp.stack([obst_w, agents_w, targ_w], axis=1)
 
     out = {

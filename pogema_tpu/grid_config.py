@@ -244,6 +244,7 @@ class StaticConfig:
         "max_episode_steps",
         "has_fixed_map",
         "has_fixed_positions",
+        "obs_layout",
     )
 
     def __init__(
@@ -258,6 +259,7 @@ class StaticConfig:
         max_episode_steps,
         has_fixed_map=False,
         has_fixed_positions=False,
+        obs_layout="grid",
     ):
         object.__setattr__(self, "size", int(size))
         object.__setattr__(self, "density", float(density))
@@ -269,6 +271,15 @@ class StaticConfig:
         object.__setattr__(self, "max_episode_steps", int(max_episode_steps))
         object.__setattr__(self, "has_fixed_map", bool(has_fixed_map))
         object.__setattr__(self, "has_fixed_positions", bool(has_fixed_positions))
+        # Engine-side option, not a reference GridConfig field: 'grid'
+        # keeps the reference obs shape [N, 3, W, W]; 'packed' flattens
+        # to [N, 3*W*W] so the minor dim is ~tile-aligned (W=11 pays
+        # ~12x T(8,128) padding; 3*121=363 -> 384 lanes pays 1.06x) —
+        # the fast path for external learners consuming materialized obs
+        # (set via PogemaCore(obs_layout=...)).
+        if obs_layout not in ("grid", "packed"):
+            raise ValueError(f"obs_layout must be 'grid' or 'packed', got {obs_layout!r}")
+        object.__setattr__(self, "obs_layout", str(obs_layout))
 
     # Padded grid geometry: the obstacle border of width obs_radius on all
     # sides is the reference's key trick (upstream: pogema/grid.py) — window

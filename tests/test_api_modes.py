@@ -226,3 +226,45 @@ def test_reset_without_obs_matches_state():
         if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
             a, b = jax.random.key_data(a), jax.random.key_data(b)
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_obs_layout_is_bitexact_reshape():
+    """obs_layout='packed' ([B, N, 3*W*W], near-tile-aligned minor dim)
+    must be a bit-exact reshape of the reference-shaped grid layout on
+    reset, step, AND step_autoreset (the fast path for external learners
+    that consume materialized obs — VERDICT r2 item 8)."""
+    import jax
+
+    cfg = GridConfig(seed=5, size=10, density=0.25, num_agents=6,
+                     obs_radius=2, max_episode_steps=8, on_target="restart")
+    grid = PogemaCore(cfg, num_envs=4)
+    packed = PogemaCore(cfg, num_envs=4, obs_layout="packed")
+    w = grid.cfg.window
+
+    def flat(o):
+        return np.asarray(o).reshape(4, cfg.num_agents, 3 * w * w)
+
+    sg, og = grid.reset(grid.make_key(0))
+    sp, op = packed.reset(packed.make_key(0))
+    assert op.shape == (4, cfg.num_agents, 3 * w * w)
+    np.testing.assert_array_equal(flat(og), np.asarray(op))
+
+    rng = np.random.default_rng(0)
+    ig, ip = sg, sp
+    for t in range(10):  # crosses the 8-step episode boundary
+        acts = rng.integers(0, 5, size=(4, cfg.num_agents)).astype(np.int32)
+        sg, og, rg, _, _ = grid.step_autoreset(sg, ig, acts)
+        sp, op, rp, _, _ = packed.step_autoreset(sp, ip, acts)
+        np.testing.assert_array_equal(flat(og), np.asarray(op),
+                                      err_msg=f"post-reset obs, step {t}")
+        np.testing.assert_array_equal(
+            flat(rg.observations), np.asarray(rp.observations),
+            err_msg=f"pre-reset obs, step {t}")
+
+
+def test_obs_layout_rejects_unknown():
+    cfg = GridConfig(seed=1, size=8, num_agents=2, obs_radius=2,
+                     max_episode_steps=8)
+    import pytest
+    with pytest.raises(ValueError, match="obs_layout"):
+        PogemaCore(cfg, num_envs=1, obs_layout="transposed")
