@@ -93,7 +93,9 @@ def test_config_e_at_spec_runs_sharded():
     step_auto = core._make_step_auto(with_obs=False)
 
     with mesh:
-        state, _ = core.reset(jax.random.key(0))
+        # Obs-free reset: the initial obs tensor at 8192x256 is ~3 GB
+        # and this test never reads it (the step path is obs-free too).
+        state, _ = core.reset(jax.random.key(0), with_obs=False)
         state = shard_batch(state, mesh)
 
         @jax.jit

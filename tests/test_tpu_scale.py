@@ -180,6 +180,108 @@ def test_regen_autoreset_scale_matches_cpu():
     assert ok_dev.all()
 
 
+def test_fused_train_step_scale_matches_cpu():
+    """The fused PPO train step at B=1024 x 64 agents, TPU vs CPU.
+
+    The gradient path composes the same hazardous machinery the env
+    paths earned this defense for (batched one-hot einsums and scans at
+    scale — three real XLA:TPU miscompiles, docs/DESIGN.md "Hazards")
+    plus grad + optimizer. Float matmuls can't be bit-equal across
+    backends, so the policy is pinned deterministic: head_out.kernel=0,
+    bias[action 2] = +1000 — categorical sampling can't overcome +1000
+    logits, so every agent takes action 2 on both backends and the whole
+    env trajectory INSIDE the fused rollout scan (collision fixpoint,
+    respawn queue, metrics) must be BIT-equal after 2 train steps, while
+    loss/grads/params — computed on identical data — must agree to
+    float tolerance. A scale-only miscompile in sampling, stepping, GAE,
+    minibatch permutation, loss, or grads breaks one of these.
+
+    Runtime warning: the CPU half executes the 'pre'-path train step at
+    B=1024 x 64 agents on a 64x64 map — ~6 min/step on a 4-core host
+    (the [B,N,S^2] one-hot contraction is memory-bound there), so this
+    test alone is ~15 min. Run it after learner-path changes, not in
+    the routine TPU sweep."""
+    import jax.numpy as jnp
+
+    from pogema_tpu import GridConfig, PogemaCore
+    from pogema_tpu.models import init_embed_params
+    from pogema_tpu.parallel import (
+        PPOConfig, init_fused_train_state, make_fused_train_step,
+    )
+
+    cfg = GridConfig(seed=0, size=64, density=0.3, num_agents=64,
+                     obs_radius=5, max_episode_steps=128,
+                     on_target="restart")
+    ppo = PPOConfig(rollout_steps=8, epochs=1, minibatches=2,
+                    obstacle_path="pre")
+
+    def pinned_params():
+        _, params = init_embed_params(jax.random.key(0), cfg.obs_radius * 2 + 1,
+                                      embed=32, hidden=32)
+        head = params["params"]["head_out"]
+        bias = np.zeros_like(np.asarray(head["bias"]))
+        bias[2] = 1000.0  # action 2 = move down, always
+        head["kernel"] = jnp.zeros_like(head["kernel"])
+        head["bias"] = jnp.asarray(bias)
+        return params
+
+    def run(device):
+        core = PogemaCore(cfg, num_envs=1024, device=device)
+        model, _ = init_embed_params(jax.random.key(0), core.cfg.window,
+                                     embed=32, hidden=32)
+        ts, tx = init_fused_train_state(core, model, pinned_params(), ppo,
+                                        jax.random.key(1))
+        step = jax.jit(make_fused_train_step(core, model, ppo, tx))
+        for _ in range(2):
+            ts, stats = step(ts)
+        leaves = {
+            "agents_xy": np.asarray(ts.env_state.agents_xy),
+            "goals_achieved": np.asarray(ts.env_state.goals_achieved),
+            "step_count": np.asarray(ts.env_state.step_count),
+        }
+        sf = {k: float(v) for k, v in stats.items()}
+        norms = {
+            "/".join(p if isinstance(p, str) else p.key for p in path):
+                float(jnp.mean(jnp.abs(leaf)))
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                ts.params)[0]
+        }
+        return leaves, sf, norms
+
+    leaves_t, stats_t, norms_t = run("default")
+    cpu = _cpu_device()
+    with jax.default_device(cpu):
+        leaves_c, stats_c, norms_c = run("cpu")
+
+    for k in leaves_t:
+        np.testing.assert_array_equal(leaves_t[k], leaves_c[k],
+                                      err_msg=f"env leaf {k} diverged")
+    assert leaves_t["goals_achieved"].sum() >= 0
+    # With the pinned head the loss terms are noise-level (~1e-7: ratio=1,
+    # advantages ≈ 0 after normalization), so atol dominates; a real
+    # miscompile (lost updates, leaked labels) shifts these by orders of
+    # magnitude, not fractions of 1e-4.
+    for k in ("loss", "pg_loss", "v_loss", "entropy", "reward_per_step"):
+        np.testing.assert_allclose(
+            stats_t[k], stats_c[k], rtol=0.05, atol=1e-4,
+            err_msg=f"stat {k}: tpu={stats_t[k]} cpu={stats_c[k]}")
+    # Param norms: only head_out receives SYSTEMATIC gradients here
+    # (value loss on identical data). embed/trunk grads flow through the
+    # zero-initialized head kernel, so they are pure bf16 rounding noise
+    # — and adam maps noise-scale grads to ~sign(g)*lr updates, making
+    # their norms backend-divergent by construction (measured: trunk
+    # bias 3.8e-4 TPU vs 2.7e-4 CPU). A grads-path miscompile still
+    # shows: head_out norms shift grossly, stats drift, or the
+    # deterministic env trajectory breaks.
+    for k in norms_t:
+        if "head_out" not in k:
+            assert np.isfinite(norms_t[k]) and np.isfinite(norms_c[k]), k
+            continue
+        np.testing.assert_allclose(
+            norms_t[k], norms_c[k], rtol=0.10, atol=1e-6,
+            err_msg=f"param-norm {k}: tpu={norms_t[k]} cpu={norms_c[k]}")
+
+
 def test_planner_distance_fields_scale_match_cpu():
     """Planner BFS fields at batch scale, TPU vs CPU bit-equal.
 
