@@ -148,6 +148,10 @@ def train_virtual_main(devices_list):
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={d}"
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         code = (
+            # sitecustomize imports jax with JAX_PLATFORMS=axon before
+            # user code runs — the env var alone is too late; force the
+            # cpu backend explicitly (backends are lazy).
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
             "import sys; sys.path.insert(0, %r)\n"
             "sys.path.insert(0, %r)\n"
             "from scaling_train_worker import run, ENVS_PER_PROC\n"

@@ -129,6 +129,21 @@ def _priority_fixpoint_setup(des_cells, cur_cells, active, moving):
     return m0, one_pass
 
 
+# Jacobi passes applied per while_loop iteration on the hot resolvers.
+# Unrolling k passes per cond is SEMANTICS-SAFE (the update
+# m <- m0 & ~blocked(m) is monotone decreasing, so passes beyond the
+# fixpoint are no-ops and "k passes changed nothing" is exactly the k=1
+# fixpoint) — but it is a MEASURED NEGATIVE on the headline workload:
+# config C bench (4096 envs, depth 3-4 typical) gives 9.86M / 9.67M /
+# 8.56M env-steps/s at k=1/2/4 — at real batch sizes a pass is HBM
+# traffic, not ~1 us, and extra no-op passes cost more than the saved
+# cond stalls. k>1 only helps deep adversarial chains (N=64 follow
+# chain: 1.42 -> 0.86 ms at k=4, benchmarks/fixpoint_adversarial.py),
+# which random/trained policies don't form (measured depth 3-12).
+# Keep k=1; see DESIGN.md "Negative results".
+_UNROLL = 1
+
+
 def resolve_priority(obstacles, agents_xy, active, actions, obstacles_nib=None):
     desired, des_cells, cur_cells, moving = propose(
         obstacles, agents_xy, active, actions, obstacles_nib)
@@ -136,7 +151,10 @@ def resolve_priority(obstacles, agents_xy, active, actions, obstacles_nib=None):
 
     def body(carry):
         m, _ = carry
-        return one_pass(m), m
+        prev = m
+        for _ in range(_UNROLL):
+            m = one_pass(m)
+        return m, prev
 
     def cond(carry):
         m, prev = carry
@@ -175,14 +193,18 @@ def resolve_soft(obstacles, agents_xy, active, actions, obstacles_nib=None):
     m0 = moving & ~vertex & ~swap
 
     # Chains: a mover into the current cell of a stayer becomes a stayer.
-    # Same bit-packed fixpoint trick as resolve_priority.
+    # Same bit-packed fixpoint trick (and _UNROLL rationale) as
+    # resolve_priority.
     e2 = _pack_bits(tgt_on_cur)
 
     def body(carry):
         m, _ = carry
-        mp = _pack_bits(m)[None, :]
-        blocked = jnp.any((e2 & ~mp) != 0, axis=-1)
-        return m0 & ~blocked, m
+        prev = m
+        for _ in range(_UNROLL):
+            mp = _pack_bits(m)[None, :]
+            blocked = jnp.any((e2 & ~mp) != 0, axis=-1)
+            m = m0 & ~blocked
+        return m, prev
 
     def cond(carry):
         m, prev = carry
