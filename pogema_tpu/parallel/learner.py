@@ -46,14 +46,13 @@ class PPOConfig:
     # picks by an f32[B, S, S, E] memory estimate.
     obstacle_path: str = flax.struct.field(pytree_node=False, default="auto")
     # 'pre' minibatch loss: scan the policy over the minibatch's TIME
-    # axis (with rematerialization) instead of evaluating all T_mb
-    # steps at once. The one-hot einsum transients scale with
-    # T_mb*B*N*S^2 — at 4096 envs x 64x64 maps they exceed HBM; the
-    # scan caps them at one timestep's worth for ~zero throughput cost
-    # (the per-step GEMMs are already MXU-sized). None = auto (scan
-    # when the transient estimate exceeds ~2 GB); True/False forces.
+    # axis under remat instead of evaluating all T_mb steps at once.
+    # Escape hatch only — measured SLOWER (53k vs 83k env-steps/s at
+    # 1024x64x64^2) and the one-shot loss does NOT materialize the big
+    # one-hot transients (XLA tiles the contraction; one-shot ran clean
+    # up to 8192 envs / embed 128 on a 16 GB chip). Default off.
     scan_minibatch_time: Optional[bool] = flax.struct.field(
-        pytree_node=False, default=None)
+        pytree_node=False, default=False)
 
 
 @flax.struct.dataclass
@@ -298,32 +297,22 @@ def make_fused_train_step(core, model, config: PPOConfig, tx):
     elif config.obstacle_path == "windows":
         use_pre = False
     elif config.obstacle_path == "auto":
-        # f32[B, S, S, E] must fit comfortably (it exists during the
-        # rollout and once per minibatch grad).
+        # Measured rule (benchmarks/pre4096_probe.py, v5e, round 3):
+        # 'pre' reads S*S embedding rows per agent per policy eval, so
+        # its cost grows with map AREA; 'windows' extracts w*w cells.
+        # Crossover sits between S=16 (pre 1.15M vs windows 0.80M
+        # env-steps/s at 1024x8) and S=64 (windows wins every measured
+        # combo: 104k vs 83k at 1024x64, 90k vs 66k at 4096x64, 321k vs
+        # 162k at 1024x8) -> use 'pre' for S^2 <= 8*w^2 (S <= 31 at
+        # r=5). Memory is NOT the gate it was believed to be in round 2:
+        # XLA tiles the one-hot contractions (nothing OOMed up to
+        # 8192 envs / embed 128 one-shot), so the bf16 e_grid estimate
+        # only guards true monsters.
         s_est = core.cfg.size
-        pre_bytes = core.num_envs * s_est * s_est * model.embed * 4
-        use_pre = time_mb and pre_bytes <= 1_500_000_000
-        if not use_pre:
-            # The 'windows' path is ~7x slower at headline scale
-            # (benchmarks/RESULTS.md "Headline-scale training") — a
-            # silent fallback costs users real throughput (VERDICT r2
-            # item 2), so say why and what to change.
-            import warnings
-            reason = (
-                "rollout_steps is not divisible by minibatches"
-                if not time_mb else
-                f"the precomputed grid embedding would need "
-                f"{pre_bytes / 1e9:.1f} GB "
-                f"({core.num_envs} envs x {s_est}^2 cells x "
-                f"{model.embed} embed x f32)"
-            )
-            warnings.warn(
-                f"obstacle_path='auto' selected the ~7x slower 'windows' "
-                f"path because {reason}; to get the fast 'pre' path "
-                "shrink --embed / num_envs (or shard over more chips) "
-                "and keep rollout_steps % minibatches == 0",
-                RuntimeWarning, stacklevel=2,
-            )
+        w_est = core.cfg.window
+        pre_bytes = 2 * core.num_envs * s_est * s_est * model.embed
+        use_pre = (time_mb and s_est * s_est <= 8 * w_est * w_est
+                   and pre_bytes <= 6_000_000_000)
     else:
         raise ValueError(
             f"unknown obstacle_path {config.obstacle_path!r} "
@@ -477,16 +466,12 @@ def _make_fused_pre_train_step(core, config: PPOConfig, tx, apply_pre,
         return _ppo_total(config, -pg_sum / count, 0.5 * v_sum / count,
                           ent_sum / count)
 
-    if config.scan_minibatch_time is None:
-        # Transient estimate for the one-shot loss: the obstacle-select
-        # one-hot is [B, T_mb*N, S^2] in model dtype (2 bytes).
-        t_mb = max(1, config.rollout_steps // max(1, config.minibatches))
-        s2 = core.cfg.size * core.cfg.size
-        est = 2 * core.num_envs * t_mb * core.cfg.num_agents * s2
-        scan_t = est > 2_000_000_000
-    else:
-        scan_t = bool(config.scan_minibatch_time)
-    if scan_t:
+    # Default OFF: the feared T_mb*B*N*S^2 one-hot transients are NOT
+    # materialized by XLA (it tiles the contraction — one-shot ran clean
+    # up to 8192 envs / embed 128 on a 16 GB v5e), and the scan is
+    # measured slower (1024x64x64^2: 53k vs 83k env-steps/s). Kept as an
+    # explicit escape hatch for shapes beyond anything measured.
+    if config.scan_minibatch_time:
         loss_fn = loss_fn_scan_t
 
     def train_step(ts: TrainState):
