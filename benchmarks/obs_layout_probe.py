@@ -43,8 +43,13 @@ def measure(core, steps, key_seed):
         def one(carry, a):
             s, _ = carry
             s, obs, _, _, _ = core._step_auto(s, initial, a)
-            # Consume the obs tensor on device (sum) so it must be
-            # materialized each step, like an external learner would.
+            # An external learner receives obs as a jit OUTPUT — the
+            # tensor is materialized in HBM in its layout. A bare
+            # obs.sum() lets XLA fuse production into the reduction and
+            # the layouts measure identical (first version of this
+            # probe did exactly that); the barrier forces the
+            # materialization the external contract implies.
+            obs = jax.lax.optimization_barrier(obs)
             return (s, obs.sum()), None
 
         (state, osum), _ = jax.lax.scan(one, (state, obs0.sum()), acts)
