@@ -4,6 +4,7 @@ from .rollout import (
     make_state_rollout_fn,
     make_recurrent_rollout_fn,
 )
+from .evaluator import make_policy_evaluator
 from .learner import (
     PPOConfig,
     make_train_step,
@@ -32,4 +33,5 @@ __all__ = [
     "init_recurrent_train_state",
     "make_recurrent_train_step",
     "make_recurrent_train_many",
+    "make_policy_evaluator",
 ]
