@@ -13,6 +13,7 @@ axis).
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,6 +58,14 @@ def main():
                     help="every k iters, save the FULL TrainState to "
                          "<checkpoint>_state (restart tolerance; "
                          "requires --checkpoint)")
+    ap.add_argument("--init-params", default=None,
+                    help="warm-start: initialize model params from a "
+                         "params checkpoint (the file --checkpoint "
+                         "writes) instead of random init. Optimizer "
+                         "state and env state start fresh — use "
+                         "--resume for bit-exact continuation; this is "
+                         "for fine-tuning (e.g. a second phase at lower "
+                         "--entropy-coef).")
     ap.add_argument("--resume", action="store_true",
                     help="if <checkpoint>_state exists, restore it and "
                          "continue from the saved iteration (bit-exact "
@@ -131,6 +140,12 @@ def main():
         # in bf16 anyway.
         core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16)
         model, params = init_params(jax.random.key(0), window)
+    if args.init_params:
+        from pogema_tpu.utils.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(
+            os.path.abspath(args.init_params), like=params)
+        print(f"warm-started params from {args.init_params}")
     ppo = PPOConfig(lr=args.lr, rollout_steps=args.rollout_steps,
                     epochs=args.epochs, minibatches=args.minibatches,
                     entropy_coef=args.entropy_coef,
@@ -188,11 +203,13 @@ def main():
 
         import numpy as np
 
+        # orbax/tensorstore requires ABSOLUTE paths (a relative
+        # --checkpoint-every save raises mid-run and kills training).
+        if args.checkpoint:
+            args.checkpoint = os.path.abspath(args.checkpoint)
         state_path = f"{args.checkpoint}_state" if args.checkpoint else None
         start_iter = 0
         if args.resume:
-            import os
-
             from pogema_tpu.utils.checkpoint import restore_checkpoint
 
             if not state_path:

@@ -143,24 +143,51 @@ def _priority_fixpoint_setup(des_cells, cur_cells, active, moving):
 # Keep k=1; see DESIGN.md "Negative results".
 _UNROLL = 1
 
+# Jacobi passes PEELED ahead of the while_loop (distinct from _UNROLL,
+# which multiplies passes INSIDE the loop body). Peeled passes fuse into
+# the surrounding step program (no loop-trip dispatch/cond stall), and
+# when the fixpoint is reached within the peel the while_loop's cond is
+# false on entry — zero trips. Semantics-safe for any value (the update
+# is monotone; passes past the fixpoint are no-ops). Typical measured
+# depth is 3-4 on random policies (benchmarks/fixpoint_probe.py), so a
+# small peel converts most loop trips into fused inline ops.
+# Measured (benchmarks/fixpoint_peel_probe.py, full production step,
+# 2048-step scans, v5e): config C 9.90/10.12/10.23/9.90/9.28 M
+# env-steps/s at peel 0/2/3/4/6; config D 3.51/3.56/3.58/3.51/3.32.
+# peel=3 wins on both (+3.3% / +2.0%); past the typical depth the
+# extra inline passes are pure cost, hence the fall at 4-6.
+_PEEL = 3
+
+
+def _peel_then_fixpoint(m0, one_pass, k_unroll):
+    """Run ``_PEEL`` inline passes, then iterate ``one_pass`` to the
+    fixpoint with a while_loop (``k_unroll`` passes per trip)."""
+    m = m0
+    prev = jnp.zeros_like(m0) | ~m0  # != m0, so cond starts true at peel 0
+    for _ in range(_PEEL):
+        prev = m
+        m = one_pass(m)
+
+    def body(carry):
+        mm, _ = carry
+        p = mm
+        for _ in range(k_unroll):
+            mm = one_pass(mm)
+        return mm, p
+
+    def cond(carry):
+        mm, p = carry
+        return jnp.any(mm != p)
+
+    m, _ = lax.while_loop(cond, body, (m, prev))
+    return m
+
 
 def resolve_priority(obstacles, agents_xy, active, actions, obstacles_nib=None):
     desired, des_cells, cur_cells, moving = propose(
         obstacles, agents_xy, active, actions, obstacles_nib)
     m0, one_pass = _priority_fixpoint_setup(des_cells, cur_cells, active, moving)
-
-    def body(carry):
-        m, _ = carry
-        prev = m
-        for _ in range(_UNROLL):
-            m = one_pass(m)
-        return m, prev
-
-    def cond(carry):
-        m, prev = carry
-        return jnp.any(m != prev)
-
-    m, _ = lax.while_loop(cond, body, (m0, jnp.zeros_like(m0) | ~m0))
+    m = _peel_then_fixpoint(m0, one_pass, _UNROLL)
     return jnp.where(m[:, None], desired, agents_xy)
 
 
@@ -197,20 +224,12 @@ def resolve_soft(obstacles, agents_xy, active, actions, obstacles_nib=None):
     # resolve_priority.
     e2 = _pack_bits(tgt_on_cur)
 
-    def body(carry):
-        m, _ = carry
-        prev = m
-        for _ in range(_UNROLL):
-            mp = _pack_bits(m)[None, :]
-            blocked = jnp.any((e2 & ~mp) != 0, axis=-1)
-            m = m0 & ~blocked
-        return m, prev
+    def one_pass(m):
+        mp = _pack_bits(m)[None, :]
+        blocked = jnp.any((e2 & ~mp) != 0, axis=-1)
+        return m0 & ~blocked
 
-    def cond(carry):
-        m, prev = carry
-        return jnp.any(m != prev)
-
-    m, _ = lax.while_loop(cond, body, (m0, jnp.zeros_like(m0) | ~m0))
+    m = _peel_then_fixpoint(m0, one_pass, _UNROLL)
     return jnp.where(m[:, None], desired, agents_xy)
 
 

@@ -133,3 +133,42 @@ def test_train_ppo_runner_resume(tmp_path):
     assert len(la) == len(lb) and len(la) > 0
     for a, b in zip(la, lb):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_ppo_init_params_warm_start(tmp_path):
+    """--init-params loads a params checkpoint as the initialization
+    (fine-tune phase 2). With --lr 0 the warm-started run's final params
+    must equal the source checkpoint bit-exactly — proving the load is
+    wired through (and that relative checkpoint paths are absolutized;
+    orbax rejects relative paths mid-run)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    base = [sys.executable, os.path.join(repo, "examples", "train_ppo.py"),
+            "--envs", "8", "--agents", "2", "--size", "8",
+            "--rollout-steps", "4", "--on-target", "restart",
+            "--embed", "16", "--hidden", "16", "--log-every", "2"]
+
+    ckpt_a = str(tmp_path / "a")
+    subprocess.run(base + ["--iters", "2", "--checkpoint", ckpt_a],
+                   env=env, check=True, timeout=420,
+                   stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    # Relative --checkpoint exercises the abspath fix (run from tmp_path).
+    out = subprocess.run(
+        base + ["--iters", "1", "--lr", "0", "--init-params", ckpt_a,
+                "--checkpoint", "b"],
+        env=env, check=True, timeout=420, cwd=str(tmp_path),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    assert b"warm-started params from" in out.stdout
+
+    pa = restore_checkpoint(ckpt_a)
+    pb = restore_checkpoint(str(tmp_path / "b"))
+    la, lb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+    assert len(la) == len(lb) and len(la) > 0
+    for a, b in zip(la, lb):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -311,3 +311,38 @@ def test_priority_fixpoint_depth_instrumentation():
         jnp.asarray(grid2), jnp.asarray(sel), jnp.ones(8, bool),
         jnp.asarray(rng.integers(0, 5, size=8).astype(np.int32))))
     assert 1 <= depth2 <= 6, depth2
+
+
+@pytest.mark.parametrize("peel", [1, 3, 5, 80])
+@pytest.mark.parametrize("system", ["priority", "soft"])
+def test_peel_is_semantics_invariant(system, peel, monkeypatch):
+    """_PEEL (passes inlined ahead of the while_loop, collisions._PEEL)
+    must not change results for ANY value: the Jacobi update is monotone,
+    so passes past the fixpoint are no-ops — including a peel (80) far
+    beyond the deepest chain here. Covers the wall-blocked follow chain
+    (depth == n, the hardest case for early loop exit) and random
+    differential traffic."""
+    n = 24
+    cfg = make_cfg(n, system, size=32)
+    grid = empty_grid(cfg)
+    r = cfg.obs_radius
+    row = r + 1
+    grid[row, r + n + 1] = 1  # wall ahead of the chain head
+    xy = [[row, r + n - i] for i in range(n)]  # agent 0 at the wall
+    actions = [RIGHT] * n
+
+    monkeypatch.setattr(collisions, "_PEEL", 0)
+    base_chain = resolve(cfg, grid, xy, [True] * n, actions)
+    monkeypatch.setattr(collisions, "_PEEL", peel)
+    assert resolve(cfg, grid, xy, [True] * n, actions) == base_chain
+
+    rng = np.random.default_rng(7)
+    free = np.argwhere(grid == 0)
+    rxy = free[rng.choice(len(free), size=n, replace=False)].astype(np.int32)
+    for _ in range(5):
+        racts = rng.integers(0, 5, size=n).astype(np.int32)
+        monkeypatch.setattr(collisions, "_PEEL", 0)
+        want = resolve(cfg, grid, rxy, [True] * n, racts)
+        monkeypatch.setattr(collisions, "_PEEL", peel)
+        assert resolve(cfg, grid, rxy, [True] * n, racts) == want
+        rxy = np.asarray(want, np.int32)
