@@ -21,7 +21,14 @@ from .wrappers.persistence import PersistentWrapper
 
 
 class AnimationConfig(BaseModel):
-    """Mirrors the reference AnimationConfig fields (SURVEY.md §2, MED)."""
+    """Mirrors the reference AnimationConfig fields (SURVEY.md §2, MED).
+
+    ``show_border`` draws the grid's surrounding obstacle ring (the
+    reference grid is border-padded; the ring is its visual stand-in) —
+    the canvas grows by one cell per side. ``uid`` namespaces the SVG:
+    the root group gets ``id="{uid}"`` (so several animations can be
+    inlined in one HTML page) and auto-saved files are named
+    ``{uid}_{episode}.svg``."""
 
     directory: str = "renders"
     static: bool = False
@@ -77,13 +84,16 @@ class Animation(_Tag):
 
 
 class Drawing:
-    def __init__(self, width, height):
+    def __init__(self, width, height, uid: Optional[str] = None):
         self.width = width
         self.height = height
+        self.uid = uid
         self.elements = []
 
     def render(self) -> str:
         body = "".join(e.render() for e in self.elements)
+        if self.uid is not None:
+            body = f'<g id="{self.uid}">{body}</g>'
         return (
             f'<svg xmlns="http://www.w3.org/2000/svg" '
             f'width="{self.width}" height="{self.height}" '
@@ -113,7 +123,8 @@ class AnimationMonitor(gymnasium.Wrapper):
             every = cfg.save_every_idx_episode
             if every and (self._episode_idx % every == 0):
                 os.makedirs(cfg.directory, exist_ok=True)
-                name = f"{self._episode_idx}.svg"
+                stem = f"{cfg.uid}_" if cfg.uid else ""
+                name = f"{stem}{self._episode_idx}.svg"
                 self.save_animation(os.path.join(cfg.directory, name), cfg)
         return obs, rew, term, trunc, infos
 
@@ -137,14 +148,18 @@ class AnimationMonitor(gymnasium.Wrapper):
         gc = getattr(self.env.unwrapped, "grid_config", None)
         r = gc.obs_radius if gc is not None else 5
 
-        d = Drawing(width=_CELL * s, height=_CELL * s)
+        # show_border: one ring of obstacle cells around the recorded
+        # grid (the grid core is border-padded; this is the drawn stand-in).
+        pad = 1 if cfg.show_border else 0
+        d = Drawing(width=_CELL * (s + 2 * pad), height=_CELL * (s + 2 * pad),
+                    uid=cfg.uid)
         dur = max(steps * 0.25, 0.25)
 
         def cx(y):  # svg x from grid col
-            return y * _CELL + _CELL // 2
+            return (y + pad) * _CELL + _CELL // 2
 
         def cy(x):  # svg y from grid row
-            return x * _CELL + _CELL // 2
+            return (x + pad) * _CELL + _CELL // 2
 
         ego = cfg.egocentric_idx
 
@@ -152,32 +167,43 @@ class AnimationMonitor(gymnasium.Wrapper):
             snap = history[min(step_idx, steps - 1)][ego]
             return abs(snap.x - x) <= r and abs(snap.y - y) <= r
 
+        def obstacle_rect(x, y):
+            rect = Rect(
+                x=(y + pad) * _CELL + 1,
+                y=(x + pad) * _CELL + 1,
+                width=_CELL - 2,
+                height=_CELL - 2,
+                rx=5,
+                fill="#84A1AE",
+            )
+            if ego is not None and not cfg.static:
+                vals = ";".join(
+                    "1.0" if visible(t, x, y) else "0.4" for t in range(steps)
+                )
+                rect.animations.append(
+                    Animation(
+                        attributeName="opacity",
+                        values=vals,
+                        dur=f"{dur}s",
+                        repeatCount="indefinite",
+                    )
+                )
+            d.elements.append(rect)
+
+        # border ring
+        if pad:
+            for y in range(-1, s + 1):
+                obstacle_rect(-1, y)
+                obstacle_rect(s, y)
+            for x in range(s):
+                obstacle_rect(x, -1)
+                obstacle_rect(x, s)
+
         # obstacles
         for x in range(s):
             for y in range(s):
-                if not obstacles[x][y]:
-                    continue
-                rect = Rect(
-                    x=y * _CELL + 1,
-                    y=x * _CELL + 1,
-                    width=_CELL - 2,
-                    height=_CELL - 2,
-                    rx=5,
-                    fill="#84A1AE",
-                )
-                if ego is not None and not cfg.static:
-                    vals = ";".join(
-                        "1.0" if visible(t, x, y) else "0.4" for t in range(steps)
-                    )
-                    rect.animations.append(
-                        Animation(
-                            attributeName="opacity",
-                            values=vals,
-                            dur=f"{dur}s",
-                            repeatCount="indefinite",
-                        )
-                    )
-                d.elements.append(rect)
+                if obstacles[x][y]:
+                    obstacle_rect(x, y)
 
         color_iter = cycle(_COLORS)
         colors = [next(color_iter) for _ in range(n)]

@@ -109,7 +109,13 @@ class PPOPolicy:
         self._temperature = float(temperature)
         self._rng = np.random.default_rng(seed)
 
-    def act(self, observations):
+    def act(self, observations, episode_start: bool = False):
+        """``episode_start=True`` marks an episode boundary explicitly
+        (equivalent to calling :meth:`reset_states` first) — for callers
+        that drive the policy themselves instead of via ``run_episode``,
+        so stale recurrent state cannot leak across episodes."""
+        if episode_start:
+            self.reset_states()
         obs = np.asarray(observations, np.float32)  # [N, 3, W, W]
         if self._model is not None:  # recurrent: thread the hidden state
             if self._h is None or self._h.shape[0] != obs.shape[0]:
@@ -127,6 +133,11 @@ class PPOPolicy:
 
     def reset_states(self):
         self._h = None
+
+    # gym-style alias: wrappers/harnesses that call ``policy.reset()``
+    # at episode boundaries get the same state clear.
+    def reset(self):
+        self.reset_states()
 
 
 def _planner_factory(**kwargs):

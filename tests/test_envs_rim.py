@@ -352,6 +352,44 @@ def test_animation_show_lines(tmp_path):
     assert open(ego).read().count("<line") == 1
 
 
+def test_animation_show_border_and_uid(tmp_path):
+    cfg = small_cfg(seed=12, max_episode_steps=4)
+    env = AnimationMonitor(pogema_v0(cfg), AnimationConfig(
+        directory=str(tmp_path), save_every_idx_episode=None))
+    rng = np.random.default_rng(0)
+    env.reset()
+    for _ in range(4):
+        env.step(rng.integers(0, 5, size=2).tolist())
+    bordered = env.save_animation(str(tmp_path / "b.svg"),
+                                  AnimationConfig(show_border=True))
+    bare = env.save_animation(str(tmp_path / "nb.svg"),
+                              AnimationConfig(show_border=False))
+    s = env.unwrapped.grid_config.size
+    cell = 35  # animation._CELL
+    import xml.etree.ElementTree as ET
+
+    w_b = int(ET.parse(bordered).getroot().get("width"))
+    w_nb = int(ET.parse(bare).getroot().get("width"))
+    assert w_b == cell * (s + 2) and w_nb == cell * s
+    # border adds exactly the ring: 2*(s+2) + 2*s rects
+    n_ring = 2 * (s + 2) + 2 * s
+    assert (open(bordered).read().count("<rect")
+            - open(bare).read().count("<rect")) == n_ring
+    # uid namespaces the root group and auto-saved filenames
+    tagged = env.save_animation(str(tmp_path / "u.svg"),
+                                AnimationConfig(uid="ep7"))
+    assert '<g id="ep7">' in open(tagged).read()
+    env2 = AnimationMonitor(pogema_v0(cfg), AnimationConfig(
+        directory=str(tmp_path / "auto"), uid="runX"))
+    env2.reset()
+    while True:
+        _, _, term, trunc, _ = env2.step(rng.integers(0, 5, size=2).tolist())
+        if all(t or tr for t, tr in zip(term, trunc)):
+            break
+    assert any(f.startswith("runX_") and f.endswith(".svg")
+               for f in os.listdir(tmp_path / "auto"))
+
+
 def test_has_obstacle_accessor():
     env = Pogema(small_cfg(seed=3))
     env.reset()

@@ -88,3 +88,13 @@ def test_ppo_policy_roundtrip(tmp_path):
     assert not np.array_equal(np.asarray(pol._h, np.float32), h1)
     pol.reset_states()
     assert pol._h is None
+    # gym-style reset() alias and the explicit episode-boundary arg both
+    # clear the carried state — callers that drive the policy directly
+    # cannot leak GRU state across episodes.
+    pol.act(obs)
+    pol.reset()
+    assert pol._h is None
+    a_fresh = pol.act(obs, episode_start=True)
+    pol.act(obs)  # advance state
+    a_marked = pol.act(obs, episode_start=True)
+    assert a_fresh == a_marked  # boundary arg == starting from scratch
