@@ -69,4 +69,8 @@ def __getattr__(name):
         from .planner_policy import GlobalPlannerPolicy
 
         return GlobalPlannerPolicy
+    if name == "PogemaVectorEnv":
+        from .integrations.vector import PogemaVectorEnv
+
+        return PogemaVectorEnv
     raise AttributeError(f"module 'pogema_tpu' has no attribute {name!r}")
