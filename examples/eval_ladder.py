@@ -1,0 +1,79 @@
+"""Head-to-head LifeLong evaluation ladder at any shape (configs C/D/E).
+
+Generalizes eval_lifelong_64.py: PPO checkpoint vs the decentralized A*
+baseline, the centralized batched planner ("Planner", MAPF obs), and
+random, on episode_avg_throughput (goals per step per agent — the
+LifeLong metric), over unseen seeds.
+
+  python examples/eval_ladder.py --agents 128 --size 64 \
+      --ckpt /root/repo/.ckpt_rec128 --seeds 1001 1002 1003
+  python examples/eval_ladder.py --agents 256 --size 128 --maps mixed \
+      --ckpt /root/repo/.ckpt_rec256 --algos random A* Planner PPO
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agents", type=int, default=64)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--density", type=float, default=0.3)
+    ap.add_argument("--obs-radius", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--maps", default="random",
+                    choices=["random", "mixed"],
+                    help="'mixed' draws each seed's world from the "
+                         "config-E mixed random+maze pool")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=[1001, 1002, 1003])
+    ap.add_argument("--algos", nargs="+",
+                    default=["random", "A*", "Planner", "PPO"])
+    args = ap.parse_args()
+
+    from pogema_tpu.toolbox import evaluate
+
+    base = dict(size=args.size, density=args.density,
+                num_agents=args.agents, obs_radius=args.obs_radius,
+                on_target="restart", max_episode_steps=args.steps)
+
+    def env_for(seed):
+        kw = dict(base)
+        if args.maps == "mixed":
+            from pogema_tpu.maps import mixed_pool
+
+            pool = mixed_pool(args.size)
+            kw["map"] = pool[seed % len(pool)].tolist()
+        return kw
+
+    results = {}
+    for algo in args.algos:
+        per_seed = []
+        for seed in args.seeds:
+            kw = env_for(seed)
+            if algo == "A*":
+                kw["observation_type"] = "POMAPF"
+            elif algo == "Planner":
+                kw["observation_type"] = "MAPF"
+            akw = ({"checkpoint": args.ckpt} if algo == "PPO" else None)
+            m = evaluate(kw, algo=algo, seeds=[seed], algo_kwargs=akw)["env"]
+            per_seed.append(m.get("avg_throughput", 0.0))
+        mean = sum(per_seed) / len(per_seed)
+        results[algo] = mean
+        print(json.dumps({"algo": algo, "avg_throughput": round(mean, 4),
+                          "per_seed": [round(x, 4) for x in per_seed]}),
+              flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

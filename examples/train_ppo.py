@@ -41,6 +41,13 @@ def main():
                     help="fused-learner obstacle strategy; 'auto' picks "
                          "'pre' when the [B, S^2, E] grid embedding fits")
     ap.add_argument("--on-target", default="restart")
+    ap.add_argument("--maps", default="random",
+                    choices=["random", "maze", "mixed"],
+                    help="world distribution: Bernoulli 'random' (default),"
+                         " 'maze' (sidewinder), or the config-E 'mixed'"
+                         " random+maze pool (pogema_tpu.maps.mixed_pool)")
+    ap.add_argument("--density", type=float, default=0.3)
+    ap.add_argument("--max-episode-steps", type=int, default=128)
     ap.add_argument("--model", choices=["fused", "recurrent", "conv"],
                     default="fused",
                     help="'fused' = feedforward obs-free EmbedActorCritic; "
@@ -110,10 +117,19 @@ def main():
 
     cfg = GridConfig(
         seed=0, size=args.size, num_agents=args.agents,
-        obs_radius=args.obs_radius, max_episode_steps=128,
+        obs_radius=args.obs_radius, density=args.density,
+        max_episode_steps=args.max_episode_steps,
         on_target=args.on_target,
     )
     import jax.numpy as jnp
+
+    maze = args.maps == "maze"
+    map_bank = None
+    if args.maps == "mixed":
+        from pogema_tpu.maps import mixed_pool
+
+        map_bank = mixed_pool(args.size)
+    env_kw = dict(maze=maze, map_bank=map_bank)
 
     # LifeLong: 'regen' resampling gives fresh maps/placements/respawn
     # queues each episode (episodes end synchronously at the time limit,
@@ -125,12 +141,14 @@ def main():
     window = cfg.obs_radius * 2 + 1
 
     if args.model == "fused":
-        core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset)
+        core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset,
+                          **env_kw)
         model, params = init_embed_params(
             jax.random.key(0), window, embed=args.embed, hidden=args.hidden,
         )
     elif args.model == "recurrent":
-        core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset)
+        core = PogemaCore(cfg, num_envs=args.envs, auto_reset_mode=auto_reset,
+                          **env_kw)
         model, params = init_recurrent_params(
             jax.random.key(0), window, embed=args.embed,
             hidden=args.gru_hidden or args.hidden,
@@ -138,7 +156,8 @@ def main():
     else:
         # bf16 observations halve rollout HBM traffic; the model computes
         # in bf16 anyway.
-        core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16)
+        core = PogemaCore(cfg, num_envs=args.envs, obs_dtype=jnp.bfloat16,
+                          **env_kw)
         model, params = init_params(jax.random.key(0), window)
     if args.init_params:
         from pogema_tpu.utils.checkpoint import restore_checkpoint
