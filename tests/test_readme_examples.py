@@ -23,6 +23,7 @@ _SCALE_DOWN = [
     ("num_envs=4096", "num_envs=8"),
     ("num_agents=64", "num_agents=3"),
     ("(4096, 64)", "(8, 3)"),
+    ("num_vec_envs=1024", "num_vec_envs=8"),
 ]
 
 
