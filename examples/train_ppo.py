@@ -22,6 +22,13 @@ sys.path.insert(0, "/root/repo")
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# sitecustomize imports jax at interpreter start with the axon platform,
+# making the JAX_PLATFORMS env var a no-op for subprocesses (CLAUDE.md).
+# Honor it explicitly so callers (tests, CI, scaling workers) can pin
+# this script to a backend — backends are lazy, so this is still early
+# enough.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main():
