@@ -49,10 +49,18 @@ def main():
     def env_for(seed):
         kw = dict(base)
         if args.maps == "mixed":
+            import numpy as np
+
             from pogema_tpu.maps import mixed_pool
 
             pool = mixed_pool(args.size)
-            kw["map"] = pool[seed % len(pool)].tolist()
+            # Uniform draw over the pool, seeded by the eval seed — the
+            # same distribution training samples from. (A naive
+            # `seed % len(pool)` maps consecutive seeds into ONE half of
+            # the half-random/half-maze pool and skews the whole ladder
+            # to that map kind.)
+            idx = int(np.random.default_rng(seed).integers(len(pool)))
+            kw["map"] = pool[idx].tolist()
         return kw
 
     results = {}
