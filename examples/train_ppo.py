@@ -236,11 +236,13 @@ def main():
         state_path = f"{args.checkpoint}_state" if args.checkpoint else None
         start_iter = 0
         if args.resume:
-            from pogema_tpu.utils.checkpoint import restore_checkpoint
+            from pogema_tpu.utils.checkpoint import (
+                checkpoint_exists, restore_checkpoint,
+            )
 
             if not state_path:
                 raise SystemExit("--resume requires --checkpoint")
-            if os.path.exists(state_path):
+            if checkpoint_exists(state_path):
                 try:
                     saved = restore_checkpoint(
                         state_path, like={"iter": np.int64(0), "ts": ts})

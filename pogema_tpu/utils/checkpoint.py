@@ -10,19 +10,56 @@ import jax
 
 
 def save_checkpoint(path: str, tree) -> None:
-    """Save any pytree (EnvState, TrainState, params, ...) to ``path``."""
+    """Save any pytree (EnvState, TrainState, params, ...) to ``path``.
+
+    Crash-safe overwrite: the new checkpoint is fully written to a
+    sibling ``<path>.next`` first, then swapped in (old one renamed to
+    ``<path>.bak`` until the swap lands). A process killed at ANY point
+    leaves a complete checkpoint on disk — either the old or the new.
+    (Plain ``force=True`` deletes the existing checkpoint before
+    writing; a kill mid-save then loses BOTH, which is exactly how a
+    long E-shape training run lost its resume state to a hung-tunnel
+    kill in round 4.)"""
+    import os
+    import shutil
+
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    new, bak = path + ".next", path + ".bak"
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _keys_to_data(tree), force=True)
+        ckptr.save(new, _keys_to_data(tree), force=True)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(new, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
+def checkpoint_exists(path: str) -> bool:
+    """True if ``path`` (or its crash-recovery ``.bak``) holds a
+    restorable checkpoint."""
+    import os
+
+    path = os.path.abspath(path)
+    return os.path.exists(path) or os.path.exists(path + ".bak")
 
 
 def restore_checkpoint(path: str, like=None):
     """Restore a pytree. Pass ``like`` (a pytree of the same structure,
     e.g. from a fresh ``reset``/``init``) to restore typed PRNG keys and
-    exact dtypes/shardings."""
+    exact dtypes/shardings. Falls back to ``<path>.bak`` when the main
+    path is missing (crash between the swap renames in
+    :func:`save_checkpoint`)."""
+    import os
+
     import orbax.checkpoint as ocp
 
+    apath = os.path.abspath(path)
+    if not os.path.exists(apath) and os.path.exists(apath + ".bak"):
+        path = apath + ".bak"
     with ocp.PyTreeCheckpointer() as ckptr:
         if like is None:
             return ckptr.restore(path)
