@@ -47,6 +47,30 @@ def test_params_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_overwrite_is_crash_safe(tmp_path):
+    """save_checkpoint overwrites via write-new-then-swap: a process
+    killed at any point leaves a restorable checkpoint (old or new).
+    The plain force=True protocol deletes the old state first — a
+    mid-save kill then loses BOTH (bit us in a real E-shape training
+    run: a hung-tunnel kill landed mid checkpoint-every save and the
+    resume silently restarted from scratch)."""
+    from pogema_tpu.utils.checkpoint import checkpoint_exists
+
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, {"a": np.arange(3)})
+    save_checkpoint(p, {"a": np.arange(3) * 2})  # overwrite
+    assert (restore_checkpoint(p)["a"] == [0, 2, 4]).all()
+    # simulate a crash between the two swap renames: main dir gone,
+    # .bak still present — restore and existence-check must fall back
+    os.rename(p, p + ".bak")
+    assert checkpoint_exists(p)
+    assert (restore_checkpoint(p)["a"] == [0, 2, 4]).all()
+    # and a fresh save from that state heals the layout
+    save_checkpoint(p, {"a": np.arange(3) * 3})
+    assert (restore_checkpoint(p)["a"] == [0, 3, 6]).all()
+    assert not os.path.exists(p + ".bak")
+
+
 def test_training_resume_equals_uninterrupted(tmp_path):
     """save -> restore -> continue reproduces an uninterrupted run
     bit-exactly: params, opt state, env state and PRNG all round-trip
