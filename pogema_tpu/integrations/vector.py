@@ -92,7 +92,17 @@ class PogemaVectorEnv(VectorEnv):
         self.num_envs = self.num_vec_envs * self.num_agents
         w = cfg.window
         obs_shape = (3 * w * w,) if obs_layout == "packed" else (3, w, w)
-        dt = np.dtype(obs_dtype) if obs_dtype is not None else np.float32
+        # Non-standard float dtypes (bf16) stay on the WIRE — they halve
+        # the device->host transfer, which dominates the adapter's step
+        # cost — but the host-facing space/arrays are float32 (gymnasium
+        # Box and most external frameworks reject bfloat16).
+        try:
+            dt = np.dtype(obs_dtype if obs_dtype is not None else np.float32)
+            if dt.kind not in "fiub":
+                dt = np.dtype(np.float32)
+        except TypeError:
+            dt = np.dtype(np.float32)
+        self._host_obs_dtype = dt
         self.single_observation_space = spaces.Box(0.0, 1.0, shape=obs_shape,
                                                    dtype=dt)
         self.single_action_space = spaces.Discrete(NUM_ACTIONS)
@@ -114,6 +124,12 @@ class PogemaVectorEnv(VectorEnv):
         a = np.asarray(x)
         return a.reshape((self.num_envs,) + a.shape[2:])
 
+    def _host_obs(self, x):
+        a = self._flat(x)
+        if a.dtype != self._host_obs_dtype:
+            a = a.astype(self._host_obs_dtype)
+        return a
+
     # -- gymnasium VectorEnv API ------------------------------------------
 
     def reset(self, *, seed: Optional[int] = None, options=None):
@@ -126,7 +142,7 @@ class PogemaVectorEnv(VectorEnv):
         self._episode += 1
         self._state, obs = self._core.reset(key)
         self._initial_state = self._state
-        return self._flat(obs), {}
+        return self._host_obs(obs), {}
 
     def step(self, actions):
         if self._state is None:
@@ -147,13 +163,13 @@ class PogemaVectorEnv(VectorEnv):
             # episodes (the returned obs are already post-reset).
             infos["final_obs"] = np.where(
                 mask.reshape((-1,) + (1,) * (fin_obs.ndim - 2)),
-                self._flat(fin_obs), 0).astype(fin_obs.dtype)
+                self._host_obs(fin_obs), 0).astype(self._host_obs_dtype)
             infos["_final_obs"] = mask
             infos["_metrics"] = mask
             for k, v in metrics.items():
                 infos[f"metrics/{k}"] = np.repeat(
                     np.where(done, v, 0.0), self.num_agents)
-        return (self._flat(obs), self._flat(rew).astype(np.float32),
+        return (self._host_obs(obs), self._flat(rew).astype(np.float32),
                 self._flat(term), self._flat(trunc), infos)
 
     def close_extras(self, **kwargs):
