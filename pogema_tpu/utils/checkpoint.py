@@ -29,13 +29,20 @@ def save_checkpoint(path: str, tree) -> None:
     new, bak = path + ".next", path + ".bak"
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(new, _keys_to_data(tree), force=True)
+    if not os.path.exists(path):
+        # Post-crash state (only .bak and/or .next exist): promote the
+        # freshly-written .next FIRST — rmtree of a multi-GB .bak is not
+        # instantaneous, and a kill inside it would otherwise leave only
+        # the unrecognized .next behind.
+        os.rename(new, path)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        return
     if os.path.exists(bak):
         shutil.rmtree(bak)
-    if os.path.exists(path):
-        os.rename(path, bak)
+    os.rename(path, bak)
     os.rename(new, path)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
+    shutil.rmtree(bak)
 
 
 def checkpoint_exists(path: str) -> bool:
@@ -65,6 +72,30 @@ def restore_checkpoint(path: str, like=None):
             return ckptr.restore(path)
         restored = ckptr.restore(path, item=_keys_to_data(like))
     return _data_to_keys(restored, like)
+
+
+def extract_params_from_state(state_path: str, params_path: str | None = None):
+    """Harvest model params from a FULL TrainState checkpoint (the
+    ``<checkpoint>_state`` file ``train_ppo.py --checkpoint-every``
+    writes, structure ``{"iter", "ts"}``) without needing the model or
+    env to rebuild a ``like`` template.
+
+    Returns ``(iter, params)``. If ``params_path`` is given, also saves
+    the params there as a regular params checkpoint (loadable by the
+    toolbox "PPO" algo / ``--init-params``). Used to recover a usable
+    policy from an interrupted training run whose final params
+    checkpoint was never written."""
+    tree = restore_checkpoint(state_path)
+    if not (isinstance(tree, dict) and "ts" in tree and "iter" in tree):
+        raise ValueError(
+            f"{state_path} is not a TrainState checkpoint "
+            f"(expected {{'iter', 'ts'}} structure, got "
+            f"{sorted(tree) if isinstance(tree, dict) else type(tree)})")
+    params = tree["ts"]["params"]
+    it = int(tree["iter"])
+    if params_path is not None:
+        save_checkpoint(params_path, params)
+    return it, params
 
 
 def _is_key(x):

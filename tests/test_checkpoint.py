@@ -71,6 +71,70 @@ def test_overwrite_is_crash_safe(tmp_path):
     assert not os.path.exists(p + ".bak")
 
 
+def test_recovery_save_promotes_next_before_bak_delete(tmp_path, monkeypatch):
+    """In the post-crash state (main dir absent, only .bak on disk), a
+    new save must rename .next into place BEFORE rmtree'ing .bak —
+    rmtree of a multi-GB state is not instantaneous, and a kill inside
+    it previously left only the unrecognized .next behind (ADVICE r4)."""
+    import shutil as _shutil
+
+    from pogema_tpu.utils.checkpoint import checkpoint_exists
+
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, {"a": np.arange(3)})
+    os.rename(p, p + ".bak")  # crash between the swap renames
+
+    real_rmtree = _shutil.rmtree
+    def dying_rmtree(path, *a, **kw):
+        if path == p + ".bak":
+            raise KeyboardInterrupt("kill during .bak rmtree")
+        return real_rmtree(path, *a, **kw)
+    monkeypatch.setattr("shutil.rmtree", dying_rmtree)
+
+    with pytest.raises(KeyboardInterrupt):
+        save_checkpoint(p, {"a": np.arange(3) * 5})
+    # The NEW checkpoint must already be live under the main path.
+    assert checkpoint_exists(p)
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+    assert (restore_checkpoint(p)["a"] == [0, 5, 10]).all()
+
+
+def test_extract_params_from_state(tmp_path):
+    """Params harvested from a full TrainState checkpoint (the
+    ``<ckpt>_state`` file) equal the in-memory params, and the saved
+    copy loads as a normal params checkpoint (round-4 harvest path,
+    now a tested helper instead of a session-history snippet)."""
+    from pogema_tpu.models import init_embed_params
+    from pogema_tpu.parallel import PPOConfig, init_fused_train_state
+    from pogema_tpu.utils.checkpoint import extract_params_from_state
+
+    cfg = GridConfig(seed=0, size=8, density=0.2, num_agents=2, obs_radius=2,
+                     max_episode_steps=8, on_target="restart")
+    core = PogemaCore(cfg, num_envs=4, auto_reset_mode="regen")
+    ppo = PPOConfig(rollout_steps=4, epochs=1, minibatches=2)
+    model, params = init_embed_params(jax.random.key(0), 5, embed=16, hidden=16)
+    ts, _ = init_fused_train_state(core, model, params, ppo, jax.random.key(1))
+
+    state_path = str(tmp_path / "run_state")
+    save_checkpoint(state_path, {"iter": np.int64(7), "ts": ts})
+
+    params_path = str(tmp_path / "harvested")
+    it, harvested = extract_params_from_state(state_path, params_path)
+    assert it == 7
+    flat_src = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(params)}
+    flat_out = jax.tree_util.tree_leaves_with_path(harvested)
+    assert len(flat_out) == len(flat_src) > 0
+
+    reloaded = restore_checkpoint(params_path, like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # a params checkpoint is NOT a state checkpoint — must refuse
+    with pytest.raises(ValueError):
+        extract_params_from_state(params_path)
+
+
 def test_training_resume_equals_uninterrupted(tmp_path):
     """save -> restore -> continue reproduces an uninterrupted run
     bit-exactly: params, opt state, env state and PRNG all round-trip
