@@ -13,6 +13,7 @@ LifeLong metric), over unseen seeds.
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -20,6 +21,13 @@ sys.path.insert(0, "/root/repo")
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# sitecustomize pre-imports jax with the axon platform, so the
+# JAX_PLATFORMS env var alone is a no-op — honor it in code (backends
+# are lazy). The B=1 eval loop belongs on CPU: per-step chip dispatch
+# pays ~31 ms of tunnel latency and the engine is bit-exact
+# cross-backend.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main():

@@ -13,6 +13,15 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# honor JAX_PLATFORMS in code (sitecustomize pre-imports jax; the env
+# var alone is a no-op). The B=1 eval loop belongs on CPU.
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from pogema_tpu.toolbox import evaluate
 
 ckpt = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.ckpt_ppo64"

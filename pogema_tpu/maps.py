@@ -67,8 +67,18 @@ def load_movingai(text: str):
 # generators in core/generator.py stay the fast path for random maps.
 
 
-def np_maze(size: int, seed: int = 0) -> list:
-    """Perfect maze (sidewinder on the odd lattice), list[list[int]]."""
+def np_maze(size: int, seed: int = 0, braid: float = 0.0) -> list:
+    """Maze on the odd lattice (sidewinder), list[list[int]].
+
+    ``braid=0`` (default) is a *perfect* maze: corridors are 1 wide and
+    every pair of cells is connected by exactly one path — with no
+    passing and no alternative routes, a large team structurally
+    gridlocks (measured: at 256 agents on 128x128 even the centralized
+    planner scores ~0.05 goals/step, `benchmarks/maze_gridlock_probe.py`).
+    ``braid > 0`` knocks out that fraction of the remaining straight
+    walls (walls whose two opposite neighbors are both open), adding
+    loops so agents can pass and route around each other — the
+    multi-agent-traversable maze kind the config-E mixed pool uses."""
     rng = np.random.default_rng(seed)
     m = (size + 1) // 2
     ll = 2 * m - 1
@@ -85,6 +95,18 @@ def np_maze(size: int, seed: int = 0) -> list:
                     k = rng.integers(run_start, j + 1)
                     grid[2 * i - 1, 2 * k] = 0
                 run_start = j + 1
+    if braid > 0.0:
+        # Candidate walls: interior wall cells whose east/west (or
+        # north/south) neighbors are both open — removing one merges two
+        # parallel corridors into a loop without creating open plazas.
+        open_ = grid == 0
+        horiz = np.zeros_like(open_)
+        horiz[:, 1:-1] = open_[:, :-2] & open_[:, 2:]
+        vert = np.zeros_like(open_)
+        vert[1:-1, :] = open_[:-2, :] & open_[2:, :]
+        cand = (grid == 1) & (horiz | vert)
+        knock = cand & (rng.random(grid.shape) < braid)
+        grid = np.where(knock, 0, grid).astype(np.uint8)
     out = np.ones((size, size), np.uint8)
     out[:ll, :ll] = grid[:size, :size]
     return out.tolist()

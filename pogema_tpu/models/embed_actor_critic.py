@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..grid_config import NUM_ACTIONS
 from ..ops.windows import (
     batched_extract_windows,
+    batched_occupancy_grid,
     batched_pairwise_agent_windows,
     batched_target_onehot,
 )
@@ -64,6 +65,45 @@ def embed_state_windows(embed_kernel, embed_bias, dtype, window,
     # f32 accumulation across the three channel contractions so the
     # embedding rounds to bf16 exactly once — keeps from_state within
     # f32 summation-order noise of __call__(observe(state)).
+    f32 = jnp.float32
+    return (
+        jnp.einsum("bnij,ijh->bnh", obst_w, k_obst,
+                   preferred_element_type=f32)
+        + jnp.einsum("bnij,ijh->bnh", agents_w, k_agents,
+                     preferred_element_type=f32)
+        + jnp.einsum("bnij,ijh->bnh", targ_w, k_target,
+                     preferred_element_type=f32)
+        + bias.astype(f32)
+    ).astype(dtype)
+
+
+def embed_state_windows_occ(embed_kernel, embed_bias, dtype, window,
+                            grids, agents_xy, targets_xy, active):
+    """Same function as :func:`embed_state_windows` (equivalence is
+    test-gated), with the agents channel built from a per-step
+    occupancy GRID instead of the pairwise [B, N, M, w] one-hot
+    factors: one [B, N, P]x[B, N, P] outer-product einsum builds
+    occ[B, P, P], then the agents window is a second
+    :func:`batched_extract_windows` whose row/column selectors XLA
+    CSEs with the obstacle extraction. At large N the pairwise
+    factors' B*N*M*w traffic dominates the whole policy step
+    (benchmarks/recurrent_profile.py); the occupancy build is
+    B*N*P + B*P*P and the shared extraction amortizes the selector
+    build across both channels."""
+    w = window
+    embed = embed_kernel.shape[-1]
+    kernel = embed_kernel.astype(dtype)
+    bias = embed_bias.astype(dtype)
+    k_obst = kernel[0].reshape(w, w, embed)
+    k_agents = kernel[1].reshape(w, w, embed)
+    k_target = kernel[2].reshape(w, w, embed)
+
+    p = grids.shape[-1]
+    occ = batched_occupancy_grid(agents_xy, active, p, dtype=dtype)
+    obst_w = batched_extract_windows(grids, agents_xy, w, dtype=dtype)
+    agents_w = batched_extract_windows(occ, agents_xy, w, dtype=dtype)
+    targ_w = batched_target_onehot(agents_xy, targets_xy, w, dtype=dtype)
+
     f32 = jnp.float32
     return (
         jnp.einsum("bnij,ijh->bnh", obst_w, k_obst,

@@ -144,6 +144,25 @@ def batched_extract_windows(grids, xy, w: int, dtype=jnp.bfloat16):
     return out.astype(dtype)
 
 
+def batched_occupancy_grid(xy, active, p: int, dtype=jnp.bfloat16):
+    """[B, N, 2] + [B, N] -> dtype[B, P, P] agent-occupancy grids.
+
+    occ[b, x, y] = 1 iff an active agent stands at (x, y) (cells are
+    unique by the collision invariant, so the one-hot outer-product sum
+    is 0/1 exactly). One einsum of two [B, N, P] one-hot factors — the
+    grid-building dual of :func:`batched_pairwise_agent_windows`: with
+    occ in hand, the agents-occupancy window is a plain
+    :func:`batched_extract_windows` call that SHARES its row/column
+    selectors with the obstacle-channel extraction (XLA CSE), instead
+    of paying the pairwise [B, N, M, w] one-hot factors again."""
+    ox = _onehot(xy[..., 0], p) * active[..., None].astype(jnp.bfloat16)
+    oy = _onehot(xy[..., 1], p)
+    out = jnp.einsum(
+        "bnp,bnq->bpq", ox, oy, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
+
+
 def batched_pairwise_agent_windows(xy, active, w: int, dtype=jnp.bfloat16):
     """[B, N, 2] + [B, N] -> dtype[B, N, w, w] agents-occupancy channels
     (batched :func:`pairwise_agent_windows`: self included, inactive
