@@ -38,9 +38,17 @@ def main():
     ap.add_argument("--obs-radius", type=int, default=5)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--maps", default="random",
-                    choices=["random", "mixed"],
-                    help="'mixed' draws each seed's world from the "
-                         "config-E mixed random+maze pool")
+                    choices=["random", "mixed", "mixed-random",
+                             "mixed-maze"],
+                    help="'mixed' draws each seed's world uniformly from "
+                         "the config-E mixed random+maze pool; "
+                         "'mixed-random'/'mixed-maze' restrict the draw "
+                         "to one kind (per-kind ladders are reported "
+                         "separately and never averaged across kinds — "
+                         "VERDICT r4 item 2)")
+    ap.add_argument("--braid", type=float, default=0.15,
+                    help="maze braid level of the pool (0.0 = the "
+                         "historical round-4 perfect mazes)")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--seeds", type=int, nargs="+",
                     default=[1001, 1002, 1003])
@@ -54,28 +62,40 @@ def main():
                 num_agents=args.agents, obs_radius=args.obs_radius,
                 on_target="restart", max_episode_steps=args.steps)
 
+    pool = None
+    if args.maps.startswith("mixed"):
+        from pogema_tpu.maps import mixed_pool
+
+        pool = mixed_pool(args.size, braid=args.braid)
+
     def env_for(seed):
         kw = dict(base)
-        if args.maps == "mixed":
+        kind = None
+        if pool is not None:
             import numpy as np
 
-            from pogema_tpu.maps import mixed_pool
-
-            pool = mixed_pool(args.size)
-            # Uniform draw over the pool, seeded by the eval seed — the
-            # same distribution training samples from. (A naive
-            # `seed % len(pool)` maps consecutive seeds into ONE half of
-            # the half-random/half-maze pool and skews the whole ladder
-            # to that map kind.)
-            idx = int(np.random.default_rng(seed).integers(len(pool)))
+            half = len(pool) // 2
+            # Uniform draw over the pool (or over one kind's half),
+            # seeded by the eval seed — the same distribution training
+            # samples from. (A naive `seed % len(pool)` maps consecutive
+            # seeds into ONE half of the half-random/half-maze pool and
+            # skews the whole ladder to that map kind.)
+            rng = np.random.default_rng(seed)
+            if args.maps == "mixed-random":
+                idx = int(rng.integers(half))
+            elif args.maps == "mixed-maze":
+                idx = half + int(rng.integers(len(pool) - half))
+            else:
+                idx = int(rng.integers(len(pool)))
+            kind = "random" if idx < half else "maze"
             kw["map"] = pool[idx].tolist()
-        return kw
+        return kw, kind
 
     results = {}
     for algo in args.algos:
-        per_seed = []
+        per_seed, kinds = [], []
         for seed in args.seeds:
-            kw = env_for(seed)
+            kw, kind = env_for(seed)
             if algo == "A*":
                 kw["observation_type"] = "POMAPF"
             elif algo == "Planner":
@@ -83,11 +103,18 @@ def main():
             akw = ({"checkpoint": args.ckpt} if algo == "PPO" else None)
             m = evaluate(kw, algo=algo, seeds=[seed], algo_kwargs=akw)["env"]
             per_seed.append(m.get("avg_throughput", 0.0))
+            kinds.append(kind)
         mean = sum(per_seed) / len(per_seed)
         results[algo] = mean
-        print(json.dumps({"algo": algo, "avg_throughput": round(mean, 4),
-                          "per_seed": [round(x, 4) for x in per_seed]}),
-              flush=True)
+        row = {"algo": algo, "avg_throughput": round(mean, 4),
+               "per_seed": [round(x, 4) for x in per_seed]}
+        # Per-kind means, never averaged across kinds (the kinds have
+        # incomparable throughput scales).
+        for k in ("random", "maze"):
+            vals = [x for x, kk in zip(per_seed, kinds) if kk == k]
+            if vals:
+                row[f"mean_{k}"] = round(sum(vals) / len(vals), 4)
+        print(json.dumps(row), flush=True)
     return results
 
 

@@ -187,16 +187,30 @@ def make_pool(names) -> np.ndarray:
     return np.stack(grids)
 
 
-def mixed_pool(size: int, k: int = 64, seed: int = 123) -> np.ndarray:
+def mixed_pool(size: int, k: int = 64, seed: int = 123,
+               braid: float = 0.15) -> np.ndarray:
     """uint8[k, size, size]: half Bernoulli-random (density 0.3), half
-    perfect mazes — the config-E 'mixed random+maze pool' (BASELINE.md),
-    promoted out of benchmarks/run.py into the library surface."""
+    braided mazes — the config-E 'mixed random+maze pool' (BASELINE.md),
+    promoted out of benchmarks/run.py into the library surface.
+
+    RE-SPECIFIED round 5 (VERDICT r4 item 2): the maze half defaults to
+    ``braid=0.15`` (15% of straight walls knocked out). The original
+    perfect mazes (``braid=0``) are STRUCTURALLY untraversable by large
+    teams — unique, hundreds-of-steps-long paths and 1-wide corridors
+    with no passing: the centralized planner scores ~0.03 goals/step at
+    EVERY agent count 32..256 and longer episodes make it worse
+    (`benchmarks/maze_gridlock_probe.py`), so half the pool carried
+    ~zero training signal and the eval could not distinguish
+    algorithms. At braid 0.15 the maze half discriminates cleanly
+    (planner 0.33 / A* 0.05 / random 0.004 at 256 agents). Pass
+    ``braid=0.0`` for the historical round-4 pool."""
     rng = np.random.default_rng(seed)
     maps = []
     for i in range(k // 2):
         maps.append((rng.random((size, size)) < 0.3).astype(np.uint8))
     for i in range(k - k // 2):
-        maps.append(np.asarray(np_maze(size, seed=seed + i), np.uint8))
+        maps.append(np.asarray(np_maze(size, seed=seed + i, braid=braid),
+                               np.uint8))
     return np.stack(maps)
 
 
