@@ -70,6 +70,14 @@ def partition_params(params, mesh):
             return P(None, "model")
         if "trunk" in names and names[-1] == "bias":
             return P("model")
+        # Recurrent family: all six GRU gate kernels are column-parallel
+        # over the hidden axis (the carried h is then 'model'-sharded;
+        # the h-side contractions become row-parallel psums and the
+        # replicated head gathers — GSPMD places the collectives).
+        if "gru" in names and names[-1] == "kernel":
+            return P(None, "model")
+        if "gru" in names and names[-1] == "bias":
+            return P("model")
         return P()
 
     return jax.tree_util.tree_map_with_path(
