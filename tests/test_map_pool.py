@@ -69,6 +69,58 @@ def test_mixed_pool_and_benchmark_pool():
     assert bp.shape[0] >= 9
 
 
+def test_maze_braid():
+    """braid=0 is the historical perfect maze; braid>0 only REMOVES
+    walls (adds loops), never adds them, keeps connectivity, and only
+    knocks out straight walls (both opposite neighbors open) — the
+    round-5 config-E pool re-specification."""
+    perfect = np.asarray(maps_mod.np_maze(33, seed=5), np.uint8)
+    braided = np.asarray(maps_mod.np_maze(33, seed=5, braid=0.3), np.uint8)
+    # monotone: walls only removed
+    assert ((perfect == 0) <= (braided == 0)).all()
+    removed = (perfect == 1) & (braided == 0)
+    assert removed.sum() > 0
+    # every removed wall was straight: opposite neighbors open in the
+    # perfect maze (horizontally or vertically)
+    xs, ys = np.nonzero(removed)
+    for x, y in zip(xs, ys):
+        horiz = (y > 0 and y + 1 < 33
+                 and perfect[x, y - 1] == 0 and perfect[x, y + 1] == 0)
+        vert = (x > 0 and x + 1 < 33
+                and perfect[x - 1, y] == 0 and perfect[x + 1, y] == 0)
+        assert horiz or vert, (x, y)
+    # connectivity is preserved (perfect maze is fully connected on the
+    # odd lattice; braiding cannot disconnect what it only opens)
+    from collections import deque
+
+    open_cells = np.argwhere(braided == 0)
+    start = tuple(open_cells[0])
+    seen = {start}
+    dq = deque([start])
+    while dq:
+        x, y = dq.popleft()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            if (0 <= nx < 33 and 0 <= ny < 33 and braided[nx, ny] == 0
+                    and (nx, ny) not in seen):
+                seen.add((nx, ny))
+                dq.append((nx, ny))
+    assert len(seen) == len(open_cells)
+
+
+def test_mixed_pool_braid_default():
+    """The config-E pool's maze half defaults to braided (strictly more
+    open cells than the braid=0 historical pool); braid=0.0 reproduces
+    the round-4 pool exactly."""
+    new = maps_mod.mixed_pool(32, k=8)
+    old = maps_mod.mixed_pool(32, k=8, braid=0.0)
+    # random half identical
+    assert (new[:4] == old[:4]).all()
+    # maze half: walls only removed, and some removed
+    assert ((old[4:] == 0) <= (new[4:] == 0)).all()
+    assert (old[4:] != new[4:]).any()
+
+
 def test_movingai_roundtrip():
     grid = maps_mod.np_city(32, seed=3)
     back = maps_mod.load_movingai(maps_mod.to_movingai(grid))
