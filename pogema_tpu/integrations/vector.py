@@ -47,7 +47,8 @@ from ..grid_config import NUM_ACTIONS, GridConfig
 class PogemaVectorEnv(VectorEnv):
     """``num_envs`` in the gymnasium sense is ``num_vec_envs *
     grid_config.num_agents`` (one slot per agent). Supports the
-    'default' observation type (per-agent window tensors)."""
+    'default' (per-agent window tensors) and 'POMAPF' (dict of
+    per-agent windows + coordinates) observation types."""
 
     metadata = {"autoreset_mode": AutoresetMode.SAME_STEP,
                 "render_modes": []}
@@ -68,12 +69,15 @@ class PogemaVectorEnv(VectorEnv):
 
         if grid_config is None:
             grid_config = GridConfig(**kwargs)
-        if grid_config.observation_type != "default":
+        if grid_config.observation_type not in ("default", "POMAPF"):
             raise ValueError(
                 "PogemaVectorEnv supports observation_type='default' "
-                "(per-agent window tensors); dict observation types have "
-                "ragged per-agent leaves that do not batch into a "
-                "gymnasium vector space"
+                "(per-agent window tensors) and 'POMAPF' (dict of "
+                "per-agent windows + coordinates); 'MAPF' has per-ENV "
+                "global leaves (global_obstacles [S,S]) that the "
+                "one-slot-per-agent vector layout would duplicate "
+                "num_agents times — centralized consumers should drive "
+                "PogemaCore directly"
             )
         self.grid_config = grid_config
         self._core = PogemaCore(
@@ -103,11 +107,28 @@ class PogemaVectorEnv(VectorEnv):
         except TypeError:
             dt = np.dtype(np.float32)
         self._host_obs_dtype = dt
-        self.single_observation_space = spaces.Box(0.0, 1.0, shape=obs_shape,
-                                                   dtype=dt)
+        if cfg.observation_type == "POMAPF":
+            # All POMAPF leaves are fixed-shape PER AGENT, so they batch
+            # into a Dict space over agent slots. Coordinates are
+            # unpadded logical grid coords (reference ignore_borders
+            # getters): active agents lie in [0, size); r is headroom
+            # for any border-parked inactive slot.
+            r, s = cfg.obs_radius, cfg.size
+            self.single_observation_space = spaces.Dict({
+                "obstacles": spaces.Box(0.0, 1.0, shape=(w, w), dtype=dt),
+                "agents": spaces.Box(0.0, 1.0, shape=(w, w), dtype=dt),
+                "xy": spaces.Box(-r, s - 1 + r, shape=(2,), dtype=np.int32),
+                "target_xy": spaces.Box(-r, s - 1 + r, shape=(2,),
+                                        dtype=np.int32),
+            })
+            self.observation_space = gymnasium.vector.utils.batch_space(
+                self.single_observation_space, self.num_envs)
+        else:
+            self.single_observation_space = spaces.Box(
+                0.0, 1.0, shape=obs_shape, dtype=dt)
+            self.observation_space = spaces.Box(
+                0.0, 1.0, shape=(self.num_envs,) + obs_shape, dtype=dt)
         self.single_action_space = spaces.Discrete(NUM_ACTIONS)
-        self.observation_space = spaces.Box(
-            0.0, 1.0, shape=(self.num_envs,) + obs_shape, dtype=dt)
         self.action_space = spaces.MultiDiscrete(
             np.full(self.num_envs, NUM_ACTIONS))
 
@@ -125,6 +146,12 @@ class PogemaVectorEnv(VectorEnv):
         return a.reshape((self.num_envs,) + a.shape[2:])
 
     def _host_obs(self, x):
+        if isinstance(x, dict):
+            # Float leaves (windows) follow the host obs dtype; integer
+            # leaves (coordinates) stay int32.
+            return {k: self._host_obs(v) if np.asarray(v).dtype.kind == "f"
+                    else self._flat(v).astype(np.int32)
+                    for k, v in x.items()}
         a = self._flat(x)
         if a.dtype != self._host_obs_dtype:
             a = a.astype(self._host_obs_dtype)
@@ -161,9 +188,16 @@ class PogemaVectorEnv(VectorEnv):
             mask = np.repeat(done, self.num_agents)
             # SAME_STEP contract: terminal observations of the ended
             # episodes (the returned obs are already post-reset).
-            infos["final_obs"] = np.where(
-                mask.reshape((-1,) + (1,) * (fin_obs.ndim - 2)),
-                self._host_obs(fin_obs), 0).astype(self._host_obs_dtype)
+            host_fin = self._host_obs(fin_obs)
+            if isinstance(host_fin, dict):
+                infos["final_obs"] = {
+                    k: np.where(mask.reshape((-1,) + (1,) * (v.ndim - 1)),
+                                v, 0).astype(v.dtype)
+                    for k, v in host_fin.items()}
+            else:
+                infos["final_obs"] = np.where(
+                    mask.reshape((-1,) + (1,) * (host_fin.ndim - 1)),
+                    host_fin, 0).astype(self._host_obs_dtype)
             infos["_final_obs"] = mask
             infos["_metrics"] = mask
             for k, v in metrics.items():

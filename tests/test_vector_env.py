@@ -131,9 +131,74 @@ def test_reset_seed_reproducibility():
     assert not np.array_equal(o1, o3)
 
 
-def test_dict_obs_type_rejected():
-    with pytest.raises(ValueError, match="observation_type"):
-        PogemaVectorEnv(GridConfig(**{**CFG, "observation_type": "POMAPF"}))
+def test_mapf_obs_type_rejected():
+    with pytest.raises(ValueError, match="global"):
+        PogemaVectorEnv(GridConfig(**{**CFG, "observation_type": "MAPF"}))
+
+
+def test_pomapf_dict_obs():
+    """POMAPF batches into a Dict space: per-agent window/coordinate
+    leaves flat over agent slots, float windows in the host dtype,
+    int32 coordinates, SAME_STEP final_obs masked per leaf."""
+    import gymnasium
+
+    B = 3
+    env = PogemaVectorEnv(
+        GridConfig(**{**CFG, "observation_type": "POMAPF"}), num_vec_envs=B)
+    w = 2 * CFG["obs_radius"] + 1
+    assert isinstance(env.single_observation_space, gymnasium.spaces.Dict)
+    obs, _ = env.reset(seed=11)
+    assert set(obs) == {"obstacles", "agents", "xy", "target_xy"}
+    assert obs["obstacles"].shape == (env.num_envs, w, w)
+    assert obs["obstacles"].dtype == np.float32
+    assert obs["xy"].shape == (env.num_envs, 2)
+    assert obs["xy"].dtype == np.int32
+    # active agents' coordinates are logical (unpadded) grid coords
+    assert (obs["xy"] >= 0).all() and (obs["xy"] < CFG["size"]).all()
+    for i in range(env.num_envs):
+        assert env.single_observation_space.contains(
+            {k: v[i] for k, v in obs.items()})
+    rng = np.random.default_rng(2)
+    saw_done = False
+    for _ in range(CFG["max_episode_steps"]):
+        obs, rew, term, trunc, infos = env.step(
+            rng.integers(0, 5, size=env.num_envs))
+        assert set(obs) == {"obstacles", "agents", "xy", "target_xy"}
+        if "_final_obs" in infos:
+            saw_done = True
+            mask = infos["_final_obs"]
+            fin = infos["final_obs"]
+            assert set(fin) == set(obs)
+            for k in fin:
+                assert fin[k].shape == obs[k].shape
+                assert (fin[k][~mask] == 0).all()
+    assert saw_done
+
+
+def test_pomapf_matches_core_directly():
+    """Adapter POMAPF leaves == PogemaCore driven directly."""
+    import jax
+
+    gc = GridConfig(**{**CFG, "observation_type": "POMAPF"})
+    env = PogemaVectorEnv(gc, num_vec_envs=2)
+    core = PogemaCore(gc, num_envs=2)
+    obs_v, _ = env.reset(seed=9)
+    state, obs_c = core.reset(core.make_key(9))
+    state0 = state
+    obs_c = jax.device_get(obs_c)
+    for k in obs_v:
+        np.testing.assert_array_equal(
+            obs_v[k], np.asarray(obs_c[k]).reshape(obs_v[k].shape))
+    rng = np.random.default_rng(4)
+    for _ in range(4):
+        acts = rng.integers(0, 5, size=env.num_envs)
+        obs_v = env.step(acts)[0]
+        state, obs_c, *_ = core.step_autoreset(
+            state, state0, acts.reshape(2, -1).astype(np.int32))
+        obs_c = jax.device_get(obs_c)
+        for k in obs_v:
+            np.testing.assert_array_equal(
+                obs_v[k], np.asarray(obs_c[k]).reshape(obs_v[k].shape))
 
 
 def test_sample_factory_batched_env():
