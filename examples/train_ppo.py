@@ -49,10 +49,14 @@ def main():
                          "'pre' when the [B, S^2, E] grid embedding fits")
     ap.add_argument("--on-target", default="restart")
     ap.add_argument("--maps", default="random",
-                    choices=["random", "maze", "mixed"],
+                    choices=["random", "maze", "mixed", "mixed-random",
+                             "mixed-maze"],
                     help="world distribution: Bernoulli 'random' (default),"
-                         " 'maze' (sidewinder), or the config-E 'mixed'"
-                         " random+maze pool (pogema_tpu.maps.mixed_pool)")
+                         " 'maze' (sidewinder), the config-E 'mixed'"
+                         " random+maze pool (pogema_tpu.maps.mixed_pool),"
+                         " or one kind's half of that pool"
+                         " ('mixed-random'/'mixed-maze' — e.g. a"
+                         " maze-focused fine-tune phase)")
     ap.add_argument("--density", type=float, default=0.3)
     ap.add_argument("--max-episode-steps", type=int, default=128)
     ap.add_argument("--model", choices=["fused", "recurrent", "conv"],
@@ -132,10 +136,15 @@ def main():
 
     maze = args.maps == "maze"
     map_bank = None
-    if args.maps == "mixed":
+    if args.maps.startswith("mixed"):
         from pogema_tpu.maps import mixed_pool
 
         map_bank = mixed_pool(args.size)
+        half = len(map_bank) // 2
+        if args.maps == "mixed-random":
+            map_bank = map_bank[:half]
+        elif args.maps == "mixed-maze":
+            map_bank = map_bank[half:]
     env_kw = dict(maze=maze, map_bank=map_bank)
 
     # LifeLong: 'regen' resampling gives fresh maps/placements/respawn
