@@ -77,9 +77,17 @@ class SampleFactoryBatchedEnv(gymnasium.Env):
         self.observation_space = self._vec.single_observation_space
         self.action_space = self._vec.single_action_space
 
+    def _split(self, obs):
+        """[B*N, ...] array -> per-agent list; dict obs (POMAPF) -> list
+        of per-agent dicts."""
+        if isinstance(obs, dict):
+            return [{k: v[i] for k, v in obs.items()}
+                    for i in range(self.num_agents)]
+        return list(obs)
+
     def reset(self, seed=None, options=None, **kwargs):
         obs, _ = self._vec.reset(seed=seed, options=options)
-        return list(obs), [{} for _ in range(self.num_agents)]
+        return self._split(obs), [{} for _ in range(self.num_agents)]
 
     def step(self, actions):
         obs, rew, term, trunc, infos = self._vec.step(actions)
@@ -90,5 +98,5 @@ class SampleFactoryBatchedEnv(gymnasium.Env):
             for i in np.nonzero(mask)[0]:
                 out_infos[i]["episode_extra_stats"] = {
                     k.split("/", 1)[1]: float(infos[k][i]) for k in keys}
-        return (list(obs), rew.tolist(), term.tolist(), trunc.tolist(),
-                out_infos)
+        return (self._split(obs), rew.tolist(), term.tolist(),
+                trunc.tolist(), out_infos)

@@ -222,3 +222,20 @@ def test_sample_factory_batched_env():
                 got_stats = True
                 assert "ep_length" in info["episode_extra_stats"]
     assert got_stats
+
+
+def test_sample_factory_pomapf_dict_obs():
+    from pogema_tpu.integrations.sample_factory import SampleFactoryBatchedEnv
+
+    env = SampleFactoryBatchedEnv(
+        GridConfig(**{**CFG, "observation_type": "POMAPF"}), num_vec_envs=2)
+    obs, infos = env.reset(seed=5)
+    assert isinstance(obs, list) and len(obs) == env.num_agents
+    assert isinstance(obs[0], dict)
+    assert set(obs[0]) == {"obstacles", "agents", "xy", "target_xy"}
+    w = 2 * CFG["obs_radius"] + 1
+    assert obs[0]["obstacles"].shape == (w, w)
+    rng = np.random.default_rng(0)
+    obs, rew, term, trunc, infos = env.step(
+        rng.integers(0, 5, size=env.num_agents))
+    assert len(obs) == env.num_agents and isinstance(obs[0], dict)
