@@ -98,3 +98,23 @@ def test_ppo_policy_roundtrip(tmp_path):
     pol.act(obs)  # advance state
     a_marked = pol.act(obs, episode_start=True)
     assert a_fresh == a_marked  # boundary arg == starting from scratch
+
+
+def test_shipped_checkpoints_load_and_act():
+    """The checkpoints shipped in the repo root (the round-5 config-E
+    curriculum results among them) restore into PPOPolicy and emit valid
+    actions — guards the artifacts the README's claims point at."""
+    import os
+
+    from pogema_tpu.toolbox import PPOPolicy
+
+    window = 11  # obs_radius 5 (all shipped policies)
+    shipped = [p for p in (".ckpt_maze256", ".ckpt_maze64",
+                           ".ckpt_rec256b_ft", ".ckpt_rec128_ft")
+               if os.path.isdir(os.path.join("/root/repo", p))]
+    assert shipped, "no shipped checkpoints found"
+    for name in shipped:
+        pol = PPOPolicy(os.path.join("/root/repo", name))
+        obs = [np.zeros((3, window, window), np.float32)] * 4
+        acts = pol.act(obs)
+        assert len(acts) == 4 and all(0 <= a < 5 for a in acts), name
